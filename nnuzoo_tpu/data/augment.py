@@ -1,0 +1,407 @@
+"""Device-side jitted data augmentation.
+
+TPU-native replacement for the reference's batchgeneratorsv2 CPU pipeline
+(`nnunetv2/training/nnUNetTrainer/nnUNetTrainer.py:824-1008`): the same transforms —
+SpatialTransform (rotation p=0.2, scaling 0.7-1.4 p=0.2), GaussianNoise p=0.1,
+GaussianBlur p=0.2, Brightness p=0.15, Contrast p=0.15, SimulateLowRes p=0.25,
+Gamma (inverted p=0.1 / plain p=0.3), Mirror, MaskImage, RemoveLabel(-1->0),
+regions conversion and DownsampleSegForDS — expressed as one jit-compiled function
+vmapped over the batch with per-sample PRNG keys. No worker processes, no host
+bottleneck: the accelerator augments while the host fetches the next batch.
+
+All shapes are static; random gating selects between transformed and identity
+results with jnp.where.
+"""
+
+import math
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# --------------------------------------------------------------------- init patch
+def rotate_coords_2d(coords, angle):
+    rot = np.array([[np.cos(angle), -np.sin(angle)],
+                    [np.sin(angle), np.cos(angle)]])
+    return rot @ np.asarray(coords, dtype=float)
+
+
+def rotate_coords_3d(coords, ax, ay, az):
+    rx = np.array([[1, 0, 0],
+                   [0, np.cos(ax), -np.sin(ax)],
+                   [0, np.sin(ax), np.cos(ax)]])
+    ry = np.array([[np.cos(ay), 0, np.sin(ay)],
+                   [0, 1, 0],
+                   [-np.sin(ay), 0, np.cos(ay)]])
+    rz = np.array([[np.cos(az), -np.sin(az), 0],
+                   [np.sin(az), np.cos(az), 0],
+                   [0, 0, 1]])
+    return rz @ ry @ rx @ np.asarray(coords, dtype=float)
+
+
+def get_patch_size(final_patch_size, rot_x, rot_y, rot_z, scale_range) -> np.ndarray:
+    """Patch inflation for rotation+scaling (reference:
+    `nnunetv2/training/data_augmentation/compute_initial_patch_size.py:4-25`)."""
+    if isinstance(rot_x, (tuple, list)):
+        rot_x = max(np.abs(rot_x))
+    if isinstance(rot_y, (tuple, list)):
+        rot_y = max(np.abs(rot_y))
+    if isinstance(rot_z, (tuple, list)):
+        rot_z = max(np.abs(rot_z))
+    rot_x = min(np.pi / 2, rot_x)
+    rot_y = min(np.pi / 2, rot_y)
+    rot_z = min(np.pi / 2, rot_z)
+    coords = np.array(final_patch_size)
+    final_shape = np.copy(coords)
+    if len(coords) == 3:
+        final_shape = np.max(np.vstack(
+            (np.abs(rotate_coords_3d(coords, rot_x, 0, 0)), final_shape)), 0)
+        final_shape = np.max(np.vstack(
+            (np.abs(rotate_coords_3d(coords, 0, rot_y, 0)), final_shape)), 0)
+        final_shape = np.max(np.vstack(
+            (np.abs(rotate_coords_3d(coords, 0, 0, rot_z)), final_shape)), 0)
+    elif len(coords) == 2:
+        final_shape = np.max(np.vstack(
+            (np.abs(rotate_coords_2d(coords, rot_x)), final_shape)), 0)
+    final_shape /= min(scale_range)
+    return final_shape.astype(int)
+
+
+# --------------------------------------------------------------------- config
+@dataclass(frozen=True)
+class AugmentConfig:
+    """Static (hashable) augmentation configuration; one jit cache entry per config."""
+    patch_size: Tuple[int, ...]              # final patch size fed to the network
+    initial_patch_size: Tuple[int, ...]      # inflated sampling patch size
+    rotation: float                          # max |angle| in radians
+    mirror_axes: Tuple[int, ...] = ()
+    do_dummy_2d: bool = False                # 3D volume, rotate in-plane only
+    use_mask_for_norm: Tuple[bool, ...] = ()
+    deep_supervision_scales: Optional[Tuple[Tuple[float, ...], ...]] = None
+    regions: Optional[Tuple[Tuple[int, ...], ...]] = None  # incl. ignore as last
+    p_rotation: float = 0.2
+    p_scaling: float = 0.2
+    scale_range: Tuple[float, float] = (0.7, 1.4)
+
+    @property
+    def dim(self):
+        return len(self.patch_size)
+
+
+def _bg_contrast(key, low, high):
+    """batchgenerators BGContrast sampling: 50% U(low,1), 50% U(1,high)."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    below = jax.random.uniform(k1, (), minval=low, maxval=1.0)
+    above = jax.random.uniform(k2, (), minval=1.0, maxval=high)
+    return jnp.where(jax.random.bernoulli(k3), below, above)
+
+
+# --------------------------------------------------------------------- spatial
+def _affine_sample(vol, matrix, in_shape, out_shape, order: int, fill: float):
+    """Sample vol (C, *in_shape) at out-grid coords mapped through `matrix` (d x d),
+    both grids centered. order 0 (nearest) or 1 (linear)."""
+    dim = len(out_shape)
+    grids = jnp.meshgrid(*[jnp.arange(s, dtype=jnp.float32) for s in out_shape],
+                         indexing="ij")
+    out_center = jnp.array([(s - 1) / 2.0 for s in out_shape], dtype=jnp.float32)
+    in_center = jnp.array([(s - 1) / 2.0 for s in in_shape], dtype=jnp.float32)
+    coords = jnp.stack([g - c for g, c in zip(grids, out_center)])  # (d, *out)
+    flat = coords.reshape(dim, -1)
+    mapped = matrix @ flat + in_center[:, None]
+    mapped = mapped.reshape(dim, *out_shape)
+
+    def sample_channel(ch):
+        return jax.scipy.ndimage.map_coordinates(ch, list(mapped), order=order,
+                                                 mode="constant", cval=fill)
+
+    return jax.vmap(sample_channel)(vol)
+
+
+def _rotation_matrix(cfg: AugmentConfig, key):
+    dim = cfg.dim
+    if dim == 2:
+        angle = jax.random.uniform(key, (), minval=-cfg.rotation, maxval=cfg.rotation)
+        c, s = jnp.cos(angle), jnp.sin(angle)
+        return jnp.array([[c, -s], [s, c]])
+    kx, ky, kz = jax.random.split(key, 3)
+    if cfg.do_dummy_2d:
+        # in-plane rotation only (around axis 0)
+        angle = jax.random.uniform(kx, (), minval=-cfg.rotation, maxval=cfg.rotation)
+        c, s = jnp.cos(angle), jnp.sin(angle)
+        one, zero = jnp.float32(1), jnp.float32(0)
+        return jnp.array([[one, zero, zero], [zero, c, -s], [zero, s, c]])
+    ax, ay, az = (jax.random.uniform(k, (), minval=-cfg.rotation, maxval=cfg.rotation)
+                  for k in (kx, ky, kz))
+    cx, sx = jnp.cos(ax), jnp.sin(ax)
+    cy, sy = jnp.cos(ay), jnp.sin(ay)
+    cz, sz = jnp.cos(az), jnp.sin(az)
+    one, zero = jnp.float32(1), jnp.float32(0)
+    rx = jnp.array([[one, zero, zero], [zero, cx, -sx], [zero, sx, cx]])
+    ry = jnp.array([[cy, zero, sy], [zero, one, zero], [-sy, zero, cy]])
+    rz = jnp.array([[cz, -sz, zero], [sz, cz, zero], [zero, zero, one]])
+    return rz @ ry @ rx
+
+
+def _spatial_transform(cfg: AugmentConfig, key, data, seg):
+    """Rotation+scale crop from initial to final patch size. data (C,*ips), seg
+    (S,*ips) or None. Returns (C,*ps), (S,*ps)."""
+    k_prot, k_rot, k_pscale, k_scale = jax.random.split(key, 4)
+    dim = cfg.dim
+
+    rot = _rotation_matrix(cfg, k_rot)
+    do_rot = jax.random.bernoulli(k_prot, cfg.p_rotation)
+    rot = jnp.where(do_rot, rot, jnp.eye(dim))
+
+    scale = _bg_contrast(k_scale, cfg.scale_range[0], cfg.scale_range[1])
+    do_scale = jax.random.bernoulli(k_pscale, cfg.p_scaling)
+    scale = jnp.where(do_scale, scale, 1.0)
+    if cfg.do_dummy_2d:
+        scale_vec = jnp.array([1.0] + [1.0] * (dim - 1)) * scale
+        scale_vec = scale_vec.at[0].set(1.0)
+    else:
+        scale_vec = jnp.full((dim,), scale)
+
+    # output coord -> input coord: rotate then scale (zoom-out for scale>1)
+    matrix = rot * scale_vec[None, :]
+
+    out = _affine_sample(data, matrix, cfg.initial_patch_size, cfg.patch_size,
+                         order=1, fill=0.0)
+    seg_out = None
+    if seg is not None:
+        seg_out = _affine_sample(seg.astype(jnp.float32), matrix,
+                                 cfg.initial_patch_size, cfg.patch_size,
+                                 order=0, fill=-1.0)
+    return out, seg_out
+
+
+# --------------------------------------------------------------------- intensity
+def _gaussian_kernel1d(sigma, radius: int):
+    x = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
+    k = jnp.exp(-0.5 * (x / jnp.maximum(sigma, 1e-8)) ** 2)
+    return k / jnp.sum(k)
+
+
+def _blur_axis(x, kernel, axis):
+    # x: (*spatial); depthwise 1D conv along axis via correlation with edge padding
+    radius = kernel.shape[0] // 2
+    moved = jnp.moveaxis(x, axis, -1)
+    padded = jnp.pad(moved, [(0, 0)] * (moved.ndim - 1) + [(radius, radius)],
+                     mode="edge")
+    windows = jnp.stack([padded[..., i:i + moved.shape[-1]]
+                         for i in range(2 * radius + 1)], axis=-1)
+    out = jnp.sum(windows * kernel, axis=-1)
+    return jnp.moveaxis(out, -1, axis)
+
+
+def _gaussian_blur(key, data, p_channel=0.5, sigma_range=(0.5, 1.0)):
+    """Per-channel gaussian blur, sigma per channel+axis (synchronize off)."""
+    C = data.shape[0]
+    dim = data.ndim - 1
+    out = []
+    for c in range(C):
+        ch = data[c]
+        apply = jax.random.bernoulli(jax.random.fold_in(key, c), p_channel)
+        blurred = ch
+        for ax in range(dim):
+            sigma = jax.random.uniform(jax.random.fold_in(key, c * 17 + ax + 1),
+                                       (), minval=sigma_range[0], maxval=sigma_range[1])
+            kernel = _gaussian_kernel1d(sigma, radius=3)
+            blurred = _blur_axis(blurred, kernel, ax)
+        out.append(jnp.where(apply, blurred, ch))
+    return jnp.stack(out)
+
+
+def _simulate_lowres(key, data, ignore_axes: Tuple[int, ...], p_channel=0.5,
+                     scale_range=(0.5, 1.0)):
+    """Nearest-downsample + linear-upsample with a traced scale, static shapes.
+    Axes synchronized (one scale per channel), reference
+    SimulateLowResolutionTransform semantics."""
+    C = data.shape[0]
+    dim = data.ndim - 1
+    out = []
+    for c in range(C):
+        kc = jax.random.fold_in(key, c)
+        apply = jax.random.bernoulli(jax.random.fold_in(kc, 0), p_channel)
+        scale = jax.random.uniform(jax.random.fold_in(kc, 1),
+                                   (), minval=scale_range[0], maxval=scale_range[1])
+        ch = data[c]
+        low = ch
+        for ax in range(dim):
+            if ax in ignore_axes:
+                continue
+            n = ch.shape[ax]
+            m = jnp.maximum(jnp.round(n * scale), 1.0)
+            # upsample coords (align_corners=False): v = (i+0.5)*m/n - 0.5
+            i = jnp.arange(n, dtype=jnp.float32)
+            v = (i + 0.5) * m / n - 0.5
+            j0 = jnp.clip(jnp.floor(v), 0, m - 1)
+            j1 = jnp.clip(j0 + 1, 0, m - 1)
+            w = jnp.clip(v - j0, 0.0, 1.0)
+            # nearest-downsample index for low-res cell j: floor((j+0.5)*n/m)
+            src0 = jnp.clip(jnp.floor((j0 + 0.5) * n / m), 0, n - 1).astype(jnp.int32)
+            src1 = jnp.clip(jnp.floor((j1 + 0.5) * n / m), 0, n - 1).astype(jnp.int32)
+            g0 = jnp.take(low, src0, axis=ax)
+            g1 = jnp.take(low, src1, axis=ax)
+            shape = [1] * low.ndim
+            shape[ax] = n
+            w = w.reshape(shape)
+            low = g0 * (1 - w) + g1 * w
+        out.append(jnp.where(apply, low, ch))
+    return jnp.stack(out)
+
+
+def _gamma(key, data, invert: bool, gamma_range=(0.7, 1.5)):
+    """Gamma with retain_stats (reference GammaTransform, p_retain_stats=1)."""
+    C = data.shape[0]
+    out = []
+    for c in range(C):
+        kc = jax.random.fold_in(key, c)
+        g = _bg_contrast(kc, gamma_range[0], gamma_range[1])
+        ch = data[c]
+        x = -ch if invert else ch
+        mean, std = x.mean(), x.std()
+        mn = x.min()
+        rng = x.max() - mn
+        y = jnp.power((x - mn) / jnp.maximum(rng, 1e-7), g) * rng + mn
+        # retain stats
+        y = (y - y.mean()) / jnp.maximum(y.std(), 1e-8) * std + mean
+        y = -y if invert else y
+        out.append(y)
+    return jnp.stack(out)
+
+
+def _intensity_chain(cfg: AugmentConfig, key, data):
+    keys = jax.random.split(key, 8)
+    dim = cfg.dim
+    ignore_axes = (0,) if (cfg.do_dummy_2d and dim == 3) else ()
+
+    # gaussian noise (synchronized channels, sigma^2 ~ U(0, 0.1))
+    variance = jax.random.uniform(jax.random.fold_in(keys[0], 1), (),
+                                  minval=0.0, maxval=0.1)
+    noise = jax.random.normal(jax.random.fold_in(keys[0], 2), data.shape) * \
+        jnp.sqrt(variance)
+    data = jnp.where(jax.random.bernoulli(keys[0], 0.1), data + noise, data)
+
+    # gaussian blur
+    data = jnp.where(jax.random.bernoulli(keys[1], 0.2),
+                     _gaussian_blur(jax.random.fold_in(keys[1], 1), data), data)
+
+    # multiplicative brightness, per channel
+    mult = jnp.stack([_bg_contrast(jax.random.fold_in(keys[2], c), 0.75, 1.25)
+                      for c in range(data.shape[0])])
+    mult = mult.reshape((-1,) + (1,) * dim)
+    data = jnp.where(jax.random.bernoulli(keys[2], 0.15), data * mult, data)
+
+    # contrast (preserve range), per channel
+    def contrast_one(c, d):
+        f = _bg_contrast(jax.random.fold_in(keys[3], c), 0.75, 1.25)
+        mean = d.mean()
+        stretched = (d - mean) * f + mean
+        return jnp.clip(stretched, d.min(), d.max())
+    contrasted = jnp.stack([contrast_one(c, data[c]) for c in range(data.shape[0])])
+    data = jnp.where(jax.random.bernoulli(keys[3], 0.15), contrasted, data)
+
+    # simulate low resolution
+    data = jnp.where(jax.random.bernoulli(keys[4], 0.25),
+                     _simulate_lowres(jax.random.fold_in(keys[4], 1), data,
+                                      ignore_axes), data)
+
+    # gamma inverted then plain
+    data = jnp.where(jax.random.bernoulli(keys[5], 0.1),
+                     _gamma(jax.random.fold_in(keys[5], 1), data, invert=True), data)
+    data = jnp.where(jax.random.bernoulli(keys[6], 0.3),
+                     _gamma(jax.random.fold_in(keys[6], 1), data, invert=False), data)
+    return data
+
+
+def _mirror(cfg: AugmentConfig, key, data, seg):
+    for i, ax in enumerate(cfg.mirror_axes):
+        flip = jax.random.bernoulli(jax.random.fold_in(key, i))
+        data = jnp.where(flip, jnp.flip(data, axis=ax + 1), data)
+        if seg is not None:
+            seg = jnp.where(flip, jnp.flip(seg, axis=ax + 1), seg)
+    return data, seg
+
+
+# --------------------------------------------------------------------- seg targets
+def _nearest_downsample(seg, out_shape):
+    """Nearest-neighbor downsample of (S, *spatial) to (S, *out_shape) using the
+    align_corners=False convention (matches torch interpolate 'nearest')."""
+    idx = []
+    for n, m in zip(seg.shape[1:], out_shape):
+        # nearest source index for output j: floor(j * n / m)
+        idx.append((np.floor(np.arange(m) * n / m)).astype(np.int32))
+    out = seg
+    for ax, indices in enumerate(idx):
+        out = jnp.take(out, jnp.asarray(indices), axis=ax + 1)
+    return out
+
+
+def convert_seg_to_regions(seg, regions, ignore_label):
+    """(1, *spatial) labelmap -> (num_regions, *spatial) binary region masks
+    (reference ConvertSegmentationToRegionsTransform)."""
+    masks = []
+    for region in regions:
+        if isinstance(region, (tuple, list)):
+            m = jnp.zeros(seg.shape[1:], dtype=bool)
+            for r in region:
+                m = m | (seg[0] == r)
+        else:
+            m = seg[0] == region
+        masks.append(m)
+    return jnp.stack(masks).astype(seg.dtype)
+
+
+def make_seg_targets(cfg: AugmentConfig, seg):
+    """RemoveLabel(-1->0), region conversion, deep-supervision downsampling."""
+    seg = jnp.where(seg == -1, 0, seg)
+    if cfg.regions is not None:
+        seg = convert_seg_to_regions(seg, cfg.regions, None)
+    if cfg.deep_supervision_scales is None:
+        return [seg]
+    targets = []
+    for scale in cfg.deep_supervision_scales:
+        if all(s == 1 for s in scale):
+            targets.append(seg)
+        else:
+            out_shape = [int(round(n * s)) for n, s in zip(cfg.patch_size, scale)]
+            targets.append(_nearest_downsample(seg, out_shape))
+    return targets
+
+
+# --------------------------------------------------------------------- entry points
+def _augment_sample(cfg: AugmentConfig, key, data, seg):
+    k_spatial, k_intensity, k_mirror = jax.random.split(key, 3)
+    data, seg = _spatial_transform(cfg, k_spatial, data, seg)
+    data = _intensity_chain(cfg, k_intensity, data)
+    data, seg = _mirror(cfg, k_mirror, data, seg)
+
+    if any(cfg.use_mask_for_norm):
+        mask = seg[0:1] >= 0
+        chans = []
+        for c in range(data.shape[0]):
+            chans.append(jnp.where(cfg.use_mask_for_norm[c],
+                                   jnp.where(mask[0], data[c], 0.0), data[c]))
+        data = jnp.stack(chans)
+
+    targets = make_seg_targets(cfg, seg) if seg is not None else None
+    return data, targets
+
+
+@partial(jax.jit, static_argnums=0)
+def augment_train_batch(cfg: AugmentConfig, key, data, seg):
+    """data (B, C, *initial_patch), seg (B, S, *initial_patch) int16.
+    Returns (data (B, C, *patch), [seg targets (B, S', *scaled_patch)])."""
+    keys = jax.random.split(key, data.shape[0])
+    return jax.vmap(lambda k, d, s: _augment_sample(cfg, k, d, s))(keys, data, seg)
+
+
+@partial(jax.jit, static_argnums=0)
+def prepare_val_batch(cfg: AugmentConfig, data, seg):
+    """Validation: no augmentation, only RemoveLabel + regions + DS downsample."""
+    targets = jax.vmap(lambda s: make_seg_targets(cfg, s))(seg)
+    return data, targets
