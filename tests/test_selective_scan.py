@@ -1,0 +1,138 @@
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp
+
+from nnuzoo_tpu.ops.selective_scan import (selective_scan, selective_scan_pallas,
+                                           selective_scan_ref_jax,
+                                           selective_scan_xla)
+
+
+def _make_inputs(rng, batch=2, dim=4, dstate=8, L=37, groups=None, with_z=True,
+                 with_D=True, with_bias=True):
+    u = rng.randn(batch, dim, L).astype(np.float32)
+    delta = rng.randn(batch, dim, L).astype(np.float32) * 0.5
+    A = -np.abs(rng.randn(dim, dstate)).astype(np.float32)
+    if groups:
+        B = rng.randn(batch, groups, dstate, L).astype(np.float32)
+        C = rng.randn(batch, groups, dstate, L).astype(np.float32)
+    else:
+        B = rng.randn(batch, dstate, L).astype(np.float32)
+        C = rng.randn(batch, dstate, L).astype(np.float32)
+    D = np.abs(rng.randn(dim)).astype(np.float32) if with_D else None
+    z = rng.randn(batch, dim, L).astype(np.float32) if with_z else None
+    bias = rng.randn(dim).astype(np.float32) * 0.1 if with_bias else None
+    return u, delta, A, B, C, D, z, bias
+
+
+def _numpy_oracle(u, delta, A, B, C, D, z, bias, softplus=True):
+    """Literal numpy transcription of the reference recurrence."""
+    u, delta, A = u.astype(np.float64), delta.astype(np.float64), A.astype(np.float64)
+    if bias is not None:
+        delta = delta + bias[None, :, None]
+    if softplus:
+        delta = np.log1p(np.exp(delta))
+    batch, dim, L = u.shape
+    N = A.shape[1]
+    if B.ndim == 4:
+        H = dim // B.shape[1]
+        Bx = np.repeat(B, H, axis=1).astype(np.float64)
+        Cx = np.repeat(C, H, axis=1).astype(np.float64)
+    else:
+        Bx = np.broadcast_to(B[:, None].astype(np.float64), (batch, dim, N, L))
+        Cx = np.broadcast_to(C[:, None].astype(np.float64), (batch, dim, N, L))
+    h = np.zeros((batch, dim, N))
+    ys = np.zeros((batch, dim, L))
+    for t in range(L):
+        dA = np.exp(delta[:, :, t, None] * A[None])
+        dBu = delta[:, :, t, None] * Bx[:, :, :, t] * u[:, :, t, None]
+        h = dA * h + dBu
+        ys[:, :, t] = (h * Cx[:, :, :, t]).sum(-1)
+    out = ys if D is None else ys + u * D[None, :, None]
+    if z is not None:
+        out = out * (z / (1 + np.exp(-z)))
+    return out
+
+
+class TestAgainstOracle:
+    @pytest.mark.parametrize("groups", [None, 2])
+    def test_ref_jax(self, rng, groups):
+        inputs = _make_inputs(rng, groups=groups)
+        expected = _numpy_oracle(*inputs)
+        got = selective_scan_ref_jax(*[jnp.asarray(x) if x is not None else None
+                                       for x in inputs], delta_softplus=True)
+        assert np.allclose(np.asarray(got), expected, atol=1e-3, rtol=1e-4), \
+            np.abs(np.asarray(got) - expected).max()
+
+    @pytest.mark.parametrize("groups", [None, 2])
+    @pytest.mark.parametrize("L", [16, 37, 260])
+    def test_xla_chunked(self, rng, groups, L):
+        inputs = _make_inputs(rng, L=L, groups=groups)
+        expected = _numpy_oracle(*inputs)
+        got = selective_scan_xla(*[jnp.asarray(x) if x is not None else None
+                                   for x in inputs], delta_softplus=True, chunk=32)
+        assert np.allclose(np.asarray(got), expected, atol=1e-3, rtol=1e-4), \
+            np.abs(np.asarray(got) - expected).max()
+
+    @pytest.mark.parametrize("groups", [None, 2])
+    def test_pallas_interpret(self, rng, groups):
+        inputs = _make_inputs(rng, dim=8, L=37, groups=groups)
+        expected = _numpy_oracle(*inputs)
+        got = selective_scan_pallas(*[jnp.asarray(x) if x is not None else None
+                                      for x in inputs], delta_softplus=True,
+                                    interpret=True)
+        assert np.allclose(np.asarray(got), expected, atol=1e-3, rtol=1e-4), \
+            np.abs(np.asarray(got) - expected).max()
+
+    def test_no_optionals(self, rng):
+        u, delta, A, B, C, _, _, _ = _make_inputs(rng, with_z=False, with_D=False,
+                                                  with_bias=False)
+        expected = _numpy_oracle(u, delta, A, B, C, None, None, None, softplus=False)
+        got = selective_scan_xla(jnp.asarray(u), jnp.asarray(delta), jnp.asarray(A),
+                                 jnp.asarray(B), jnp.asarray(C))
+        assert np.allclose(np.asarray(got), expected, atol=1e-3, rtol=1e-4)
+
+
+class TestGradients:
+    def test_xla_grad_matches_ref_grad(self, rng):
+        inputs = _make_inputs(rng, batch=1, dim=3, dstate=4, L=19)
+        args = [jnp.asarray(x) if x is not None else None for x in inputs]
+
+        def loss_fn(impl):
+            def f(u, delta, A, B, C, D, z, bias):
+                out = impl(u, delta, A, B, C, D, z, bias, delta_softplus=True)
+                return jnp.sum(out ** 2)
+            return f
+
+        g_ref = jax.grad(loss_fn(selective_scan_ref_jax), argnums=(0, 1, 2, 3, 4))(*args)
+        g_xla = jax.grad(loss_fn(selective_scan_xla), argnums=(0, 1, 2, 3, 4))(*args)
+        for gr, gx, name in zip(g_ref, g_xla, "u delta A B C".split()):
+            assert np.allclose(np.asarray(gr), np.asarray(gx), atol=1e-3), \
+                f"{name}: {np.abs(np.asarray(gr) - np.asarray(gx)).max()}"
+
+    def test_pallas_grad_matches_ref_grad(self, rng):
+        inputs = _make_inputs(rng, batch=1, dim=4, dstate=4, L=19, groups=2)
+        args = [jnp.asarray(x) if x is not None else None for x in inputs]
+
+        def f_ref(u, delta, A, B, C, D, z, bias):
+            return jnp.sum(selective_scan_ref_jax(
+                u, delta, A, B, C, D, z, bias, delta_softplus=True) ** 2)
+
+        def f_pal(u, delta, A, B, C, D, z, bias):
+            return jnp.sum(selective_scan_pallas(
+                u, delta, A, B, C, D, z, bias, delta_softplus=True,
+                interpret=True) ** 2)
+
+        g_ref = jax.grad(f_ref, argnums=(0, 1, 2, 3, 4, 5, 6, 7))(*args)
+        g_pal = jax.grad(f_pal, argnums=(0, 1, 2, 3, 4, 5, 6, 7))(*args)
+        for gr, gp, name in zip(g_ref, g_pal, "u delta A B C D z bias".split()):
+            assert np.allclose(np.asarray(gr), np.asarray(gp), atol=2e-3), \
+                f"{name}: {np.abs(np.asarray(gr) - np.asarray(gp)).max()}"
+
+
+def test_dispatcher_runs(rng):
+    inputs = _make_inputs(rng, L=16)
+    args = [jnp.asarray(x) if x is not None else None for x in inputs]
+    out = selective_scan(*args, delta_softplus=True)
+    assert out.shape == args[0].shape
