@@ -9,13 +9,14 @@ counts optimizer steps.
 import math
 from typing import Callable
 
+import jax.numpy as jnp
 import numpy as np
 
 
 def poly_lr(initial_lr: float, max_epochs: int, exponent: float = 0.9) -> Callable:
     """PolyLR: lr = initial * (1 - epoch/max)^0.9 (reference `polylr.py:7-25`)."""
     def schedule(epoch):
-        return initial_lr * (1 - np.minimum(epoch, max_epochs - 1) / max_epochs) ** exponent
+        return initial_lr * (1 - jnp.minimum(epoch, max_epochs - 1) / max_epochs) ** exponent
     return schedule
 
 
@@ -27,12 +28,12 @@ def poly_lr_with_warmup(initial_lr: float, max_epochs: int, warmup_epochs: int,
     def schedule(epoch):
         warm = initial_lr * (warmup_initial_factor +
                              (1 - warmup_initial_factor) *
-                             np.minimum(epoch, warmup_epochs) / max(warmup_epochs, 1))
-        decay_epoch = np.maximum(epoch - warmup_epochs, 0)
+                             jnp.minimum(epoch, warmup_epochs) / max(warmup_epochs, 1))
+        decay_epoch = jnp.maximum(epoch - warmup_epochs, 0)
         decay_total = max(max_epochs - warmup_epochs, 1)
-        decayed = initial_lr * (1 - np.minimum(decay_epoch, decay_total - 1)
+        decayed = initial_lr * (1 - jnp.minimum(decay_epoch, decay_total - 1)
                                 / decay_total) ** exponent
-        return np.where(epoch < warmup_epochs, warm, decayed)
+        return jnp.where(epoch < warmup_epochs, warm, decayed)
     return schedule
 
 
