@@ -1,0 +1,260 @@
+"""Sliding-window predictor (reference:
+`nnunetv2/inference/predict_from_raw_data.py:37-974`).
+
+Parity: fold-ensemble restore from a trained model folder (reads the checkpoint's
+``trainer_name`` + ``init_args``), Gaussian-weighted sliding-window accumulation
+(step = tile_step_size * patch), mirror TTA over all axis combinations, fold-logit
+averaging, ``num_parts``/``part_id`` case striping, overwrite skipping.
+
+TPU-native: tiles are batched per forward pass (the reference runs batch=1 per
+tile), the tile forward (incl. all mirror flips) is one jitted function per
+configuration, and accumulation happens in host fp32 numpy while the device chews
+the next tile batch.
+"""
+
+import itertools
+import os
+from typing import List, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.registry import get_model_builder
+from ..plans.label_handling import determine_num_input_channels
+from ..plans.plans_handler import PlansManager
+from ..preprocessing.preprocessor import DefaultPreprocessor
+from ..utilities.dataset_utils import create_lists_from_split_dataset_folder, \
+    get_identifiers_from_split_dataset_folder
+from ..utilities.io import isdir, isfile, join, load_json, load_pickle, maybe_mkdir, \
+    save_json, subfiles
+from .export import export_prediction_from_logits
+from .sliding_window import (compute_gaussian, get_sliding_window_slicers,
+                             pad_nd_image)
+
+
+class Predictor:
+    def __init__(self, tile_step_size: float = 0.5, use_gaussian: bool = True,
+                 use_mirroring: bool = True,
+                 allowed_mirroring_axes: Optional[Tuple[int, ...]] = None,
+                 tile_batch_size: int = 4, verbose: bool = False):
+        self.tile_step_size = tile_step_size
+        self.use_gaussian = use_gaussian
+        self.use_mirroring = use_mirroring
+        self.allowed_mirroring_axes = allowed_mirroring_axes
+        self.tile_batch_size = tile_batch_size
+        self.verbose = verbose
+
+        self.model = None
+        self.list_of_parameters = None
+        self.plans_manager = None
+        self.configuration_manager = None
+        self.dataset_json = None
+        self.label_manager = None
+        self.trainer_name = None
+        self._jit_tile_forward = None
+
+    # ------------------------------------------------------------------ init
+    def initialize_from_trained_model_folder(self, model_training_output_dir: str,
+                                             use_folds=None,
+                                             checkpoint_name: str =
+                                             "checkpoint_final.pth"):
+        if use_folds is None:
+            use_folds = self.auto_detect_available_folds(
+                model_training_output_dir, checkpoint_name)
+        dataset_json = load_json(join(model_training_output_dir, "dataset.json"))
+        plans = load_json(join(model_training_output_dir, "plans.json"))
+        plans_manager = PlansManager(plans)
+
+        if isinstance(use_folds, (int, str)):
+            use_folds = [use_folds]
+        parameters = []
+        trainer_name = configuration_name = mirroring_axes = None
+        for f in use_folds:
+            f = int(f) if f != "all" else f
+            ckpt = load_pickle(join(model_training_output_dir, f"fold_{f}",
+                                    checkpoint_name))
+            if trainer_name is None:
+                trainer_name = ckpt["trainer_name"]
+                configuration_name = ckpt["init_args"]["configuration"]
+                mirroring_axes = ckpt.get("inference_allowed_mirroring_axes")
+            parameters.append(ckpt["network_weights"])
+
+        configuration_manager = plans_manager.get_configuration(configuration_name)
+        num_input_channels = determine_num_input_channels(
+            plans_manager, configuration_manager, dataset_json)
+        builder = get_model_builder(trainer_name)
+        model = builder(plans_manager, dataset_json, configuration_manager,
+                        num_input_channels, deep_supervision=False)
+
+        # deserialize each fold's params against a freshly-initialized template
+        from flax import serialization
+        patch = configuration_manager.patch_size
+        example = jnp.zeros((1, *patch, num_input_channels), jnp.float32)
+        template = jax.jit(model.init)(jax.random.PRNGKey(0), example)
+        template_np = jax.tree.map(np.asarray, template)
+        params_list = [serialization.from_bytes(template_np, p) for p in parameters]
+
+        self.manual_initialization(model, params_list, plans_manager,
+                                   configuration_manager, dataset_json,
+                                   trainer_name, mirroring_axes)
+
+    @staticmethod
+    def auto_detect_available_folds(model_training_output_dir, checkpoint_name):
+        folds = [int(i.split("_")[-1])
+                 for i in os.listdir(model_training_output_dir)
+                 if i.startswith("fold_") and i != "fold_all"
+                 and isfile(join(model_training_output_dir, i, checkpoint_name))]
+        assert len(folds) > 0, f"No usable folds in {model_training_output_dir}"
+        return sorted(folds)
+
+    def manual_initialization(self, model, params_list, plans_manager,
+                              configuration_manager, dataset_json,
+                              trainer_name, inference_allowed_mirroring_axes):
+        self.model = model
+        self.list_of_parameters = params_list
+        self.plans_manager = plans_manager
+        self.configuration_manager = configuration_manager
+        self.dataset_json = dataset_json
+        self.trainer_name = trainer_name
+        self.label_manager = plans_manager.get_label_manager(dataset_json)
+        if self.allowed_mirroring_axes is None:
+            self.allowed_mirroring_axes = inference_allowed_mirroring_axes
+        self._build_tile_forward()
+
+    def _build_tile_forward(self):
+        model = self.model
+        mirror_axes = tuple(self.allowed_mirroring_axes or ()) \
+            if self.use_mirroring else ()
+
+        def tile_forward(params, x):
+            """x: (B, *patch, C) channels-last. Averages over mirror TTA."""
+            outputs = model.apply(params, x, train=False)
+            pred = outputs[0] if isinstance(outputs, (list, tuple)) else outputs
+            if mirror_axes:
+                combos = [c for i in range(len(mirror_axes))
+                          for c in itertools.combinations(mirror_axes, i + 1)]
+                for combo in combos:
+                    axes = [a + 1 for a in combo]
+                    flipped = model.apply(params, jnp.flip(x, axes), train=False)
+                    f = flipped[0] if isinstance(flipped, (list, tuple)) else flipped
+                    pred = pred + jnp.flip(f, axes)
+                pred = pred / (len(combos) + 1)
+            return pred  # (B, *patch, num_heads)
+
+        self._jit_tile_forward = jax.jit(tile_forward)
+
+    # ------------------------------------------------------------------ sliding window
+    def predict_sliding_window_return_logits(self, data: np.ndarray,
+                                             params=None) -> np.ndarray:
+        """data: (c, *spatial) preprocessed numpy. Returns (num_heads, *spatial)."""
+        assert self._jit_tile_forward is not None, "predictor not initialized"
+        if params is None:
+            params = self.list_of_parameters[0]
+        patch_size = tuple(self.configuration_manager.patch_size)
+        num_heads = self.label_manager.num_segmentation_heads
+
+        data_padded, revert_slicer = pad_nd_image(data, patch_size)
+        spatial = data_padded.shape[1:]
+        slicers = get_sliding_window_slicers(spatial, patch_size,
+                                             self.tile_step_size)
+        gaussian = compute_gaussian(patch_size) if self.use_gaussian else \
+            np.ones(patch_size, dtype=np.float32)
+
+        logits = np.zeros((num_heads, *spatial), dtype=np.float32)
+        weights = np.zeros(spatial, dtype=np.float32)
+
+        bt = self.tile_batch_size
+        for i in range(0, len(slicers), bt):
+            batch_slicers = slicers[i:i + bt]
+            tiles = np.stack([data_padded[sl] for sl in batch_slicers])
+            if len(batch_slicers) < bt:  # pad the last batch
+                reps = bt - len(batch_slicers)
+                tiles = np.concatenate([tiles, np.repeat(tiles[-1:], reps, 0)])
+            x = jnp.asarray(np.moveaxis(tiles, 1, -1))  # (B, *patch, C)
+            preds = np.asarray(self._jit_tile_forward(params, x))
+            preds = np.moveaxis(preds, -1, 1)  # (B, heads, *patch)
+            for j, sl in enumerate(batch_slicers):
+                target_sl = (slice(None),) + sl[1:]
+                logits[target_sl] += preds[j] * gaussian
+                weights[sl[1:]] += gaussian
+        logits /= np.maximum(weights, 1e-8)
+        if not np.isfinite(logits).all():
+            raise RuntimeError("Non-finite values in accumulated logits")
+        return logits[(slice(None),) + revert_slicer[1:]] \
+            if len(revert_slicer) > 1 else logits[revert_slicer]
+
+    def predict_logits_from_preprocessed_data(self, data: np.ndarray) -> np.ndarray:
+        """Average logits over folds (reference `:478-513`)."""
+        out = None
+        for params in self.list_of_parameters:
+            pred = self.predict_sliding_window_return_logits(data, params)
+            out = pred if out is None else out + pred
+        return out / len(self.list_of_parameters)
+
+    # ------------------------------------------------------------------ files
+    def predict_from_files(self, list_of_lists_or_source_folder,
+                           output_folder_or_list_of_truncated_output_files,
+                           save_probabilities: bool = False,
+                           overwrite: bool = True,
+                           num_parts: int = 1, part_id: int = 0,
+                           folder_with_segs_from_prev_stage: Optional[str] = None):
+        dataset_json = self.dataset_json
+        ending = dataset_json["file_ending"]
+        if isinstance(list_of_lists_or_source_folder, str):
+            idents = get_identifiers_from_split_dataset_folder(
+                list_of_lists_or_source_folder, ending)
+            list_of_lists = create_lists_from_split_dataset_folder(
+                list_of_lists_or_source_folder, ending, idents)
+        else:
+            list_of_lists = list_of_lists_or_source_folder
+            idents = [os.path.basename(f[0])[:-(len(ending) + 5)]
+                      for f in list_of_lists]
+
+        if isinstance(output_folder_or_list_of_truncated_output_files, str):
+            out_folder = output_folder_or_list_of_truncated_output_files
+            maybe_mkdir(out_folder)
+            out_truncated = [join(out_folder, i) for i in idents]
+        else:
+            out_truncated = output_folder_or_list_of_truncated_output_files
+            out_folder = os.path.dirname(out_truncated[0]) if out_truncated else None
+
+        # num_parts striping (reference `:187`)
+        list_of_lists = list_of_lists[part_id::num_parts]
+        out_truncated = out_truncated[part_id::num_parts]
+
+        if not overwrite:
+            keep = [not isfile(o + ending) for o in out_truncated]
+            list_of_lists = [l for l, k in zip(list_of_lists, keep) if k]
+            out_truncated = [o for o, k in zip(out_truncated, keep) if k]
+
+        if out_folder is not None:
+            save_json({"tile_step_size": self.tile_step_size,
+                       "use_gaussian": self.use_gaussian,
+                       "use_mirroring": self.use_mirroring,
+                       "checkpoint_trainer": self.trainer_name},
+                      join(out_folder, "predict_from_raw_data_args.json"))
+
+        preprocessor = DefaultPreprocessor(verbose=self.verbose)
+        for files, out_trunc in zip(list_of_lists, out_truncated):
+            data, seg_prev, properties = self._preprocess_one(
+                preprocessor, files, folder_with_segs_from_prev_stage)
+            logits = self.predict_logits_from_preprocessed_data(data)
+            export_prediction_from_logits(
+                logits, properties, self.configuration_manager,
+                self.plans_manager, dataset_json, out_trunc, save_probabilities)
+            if self.verbose:
+                print(f"predicted {out_trunc}")
+
+    def _preprocess_one(self, preprocessor, files, prev_stage_folder):
+        data, _, properties = preprocessor.run_case(
+            files, None, self.plans_manager, self.configuration_manager,
+            self.dataset_json)
+        if prev_stage_folder is not None:
+            from ..plans.label_handling import convert_labelmap_to_one_hot
+            ident = os.path.basename(files[0]).split(".")[0][:-5]
+            seg_prev = np.load(join(prev_stage_folder, ident + ".npz"))["seg"]
+            onehot = convert_labelmap_to_one_hot(
+                seg_prev, self.label_manager.foreground_labels, np.float32)
+            data = np.vstack([data, onehot])
+        return data, None, properties
