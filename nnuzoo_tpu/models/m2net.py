@@ -1,0 +1,158 @@
+"""M2Net / SS2D2Net — the flagship X2Net hybrid (reference:
+`nnunetv2/nets/m2net.py:805-1251`).
+
+U2Net macro-topology where stages 1-4 (encoder and decoder) are mini VSSM U-Nets
+("MU") running 4-direction selective scans, stages 5/6 are dilated RSU4F conv
+blocks; PatchMerging2D downsamples between encoder stages, PatchExpand +
+concat-back Linear upsamples in the decoder; 6 side heads at their native stage
+resolutions (d0/d1 full res, d2 1/2, ... d6 1/32 -- matching the trainer's x2net
+deep-supervision scales) plus the fused d0 via a 1x1 conv over all upsampled sides.
+
+M2NetP: 64/128-channel lightweight variant whose decoder concatenates skips
+directly into wider MUs (no concat_back_dim linear).
+"""
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from .layers import resize_linear
+from .registry import register_model
+from .u2net import RSU4F
+from .vssm import MU, PatchExpand, PatchMerging2D
+
+
+def _maxpool2_ceil(x):
+    """2x2 stride-2 maxpool with ceil_mode (pad odd edges with -inf)."""
+    B, H, W, C = x.shape
+    ph, pw = H % 2, W % 2
+    if ph or pw:
+        x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)),
+                    constant_values=-jnp.inf)
+    return nn.max_pool(x, (2, 2), strides=(2, 2))
+
+
+class M2Net(nn.Module):
+    num_classes: int
+    deep_supervision: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        full_res = x.shape[1:3]
+
+        # ------------------------------ encoder
+        hx1 = MU(x.shape[-1], 16, 32, 7, name="stage1")(x, train=train)
+        hx = PatchMerging2D(32, 2, name="patch_merging1")(hx1)         # 64 @ /2
+        hx2 = MU(64, 32, 64, 6, name="stage2")(hx, train=train)
+        hx = PatchMerging2D(64, 2, name="patch_merging2")(hx2)         # 128 @ /4
+        hx3 = MU(128, 64, 128, 5, name="stage3")(hx, train=train)
+        hx = PatchMerging2D(128, 2, name="patch_merging3")(hx3)        # 256 @ /8
+        hx4 = MU(256, 128, 256, 4, name="stage4")(hx, train=train)
+        hx = PatchMerging2D(256, 2, name="patch_merging4")(hx4)        # 512 @ /16
+        hx5 = RSU4F(256, 512, name="stage5")(hx)
+        hx = _maxpool2_ceil(hx5)                                        # 512 @ /32
+        hx6 = RSU4F(256, 512, name="stage6")(hx)
+        hx6up = resize_linear(hx6, hx5.shape[1:3], 2)
+
+        # ------------------------------ decoder
+        hx5d = RSU4F(256, 512, name="stage5d")(
+            jnp.concatenate([hx6up, hx5], -1))
+        up = PatchExpand(512, 2, name="patch_expand4d")(hx5d)           # 256 @ /8
+        up = nn.Dense(256, name="concat_back_dim4d")(
+            jnp.concatenate([up, hx4], -1))
+        hx4d = MU(256, 128, 256, 4, name="stage4d")(up, train=train)
+        up = PatchExpand(256, 2, name="patch_expand3d")(hx4d)          # 128 @ /4
+        up = nn.Dense(128, name="concat_back_dim3d")(
+            jnp.concatenate([up, hx3], -1))
+        hx3d = MU(128, 64, 128, 5, name="stage3d")(up, train=train)
+        up = PatchExpand(128, 2, name="patch_expand2d")(hx3d)          # 64 @ /2
+        up = nn.Dense(64, name="concat_back_dim2d")(
+            jnp.concatenate([up, hx2], -1))
+        hx2d = MU(64, 32, 64, 6, name="stage2d")(up, train=train)
+        up = PatchExpand(64, 2, name="patch_expand1d")(hx2d)           # 32 @ /1
+        up = nn.Dense(32, name="concat_back_dim1d")(
+            jnp.concatenate([up, hx1], -1))
+        hx1d = MU(32, 16, 32, 7, name="stage1d")(up, train=train)
+
+        # ------------------------------ heads (native resolutions)
+        d1 = nn.Conv(self.num_classes, (3, 3), padding="SAME", name="side1")(hx1d)
+        d2 = nn.Conv(self.num_classes, (3, 3), padding="SAME", name="side2")(hx2d)
+        d3 = nn.Conv(self.num_classes, (3, 3), padding="SAME", name="side3")(hx3d)
+        d4 = nn.Conv(self.num_classes, (3, 3), padding="SAME", name="side4")(hx4d)
+        d5 = nn.Conv(self.num_classes, (3, 3), padding="SAME", name="side5")(hx5d)
+        d6 = nn.Conv(self.num_classes, (3, 3), padding="SAME", name="side6")(hx6)
+
+        cat = jnp.concatenate(
+            [d1] + [resize_linear(d, full_res, 2) for d in (d2, d3, d4, d5, d6)], -1)
+        d0 = nn.Conv(self.num_classes, (1, 1), name="outconv")(cat)
+
+        outs = [d0, d1, d2, d3, d4, d5, d6]
+        outs = [o.astype(jnp.float32) for o in outs]
+        return outs if self.deep_supervision else [outs[0]]
+
+
+class M2NetP(nn.Module):
+    num_classes: int
+    deep_supervision: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        full_res = x.shape[1:3]
+
+        hx1 = MU(x.shape[-1], 16, 64, 7, name="stage1")(x, train=train)
+        hx = PatchMerging2D(64, 2, output_features=64, name="patch_merging1")(hx1)
+        hx2 = MU(64, 16, 64, 6, name="stage2")(hx, train=train)
+        hx = PatchMerging2D(64, 2, output_features=64, name="patch_merging2")(hx2)
+        hx3 = MU(64, 16, 64, 5, name="stage3")(hx, train=train)
+        hx = PatchMerging2D(64, 2, output_features=64, name="patch_merging3")(hx3)
+        hx4 = MU(64, 16, 64, 4, name="stage4")(hx, train=train)
+        hx = PatchMerging2D(64, 2, output_features=64, name="patch_merging4")(hx4)
+        hx5 = RSU4F(16, 64, name="stage5")(hx)
+        hx = _maxpool2_ceil(hx5)
+        hx6 = RSU4F(16, 64, name="stage6")(hx)
+        hx6up = resize_linear(hx6, hx5.shape[1:3], 2)
+
+        hx5d = RSU4F(16, 128, name="stage5d")(jnp.concatenate([hx6up, hx5], -1))
+        up = PatchExpand(128, 2, name="patch_expand4d")(hx5d)          # 64 ch
+        hx4d = MU(128, 16, 128, 4, name="stage4d")(
+            jnp.concatenate([up, hx4], -1), train=train)
+        up = PatchExpand(128, 2, name="patch_expand3d")(hx4d)
+        hx3d = MU(128, 16, 128, 5, name="stage3d")(
+            jnp.concatenate([up, hx3], -1), train=train)
+        up = PatchExpand(128, 2, name="patch_expand2d")(hx3d)
+        hx2d = MU(128, 16, 128, 6, name="stage2d")(
+            jnp.concatenate([up, hx2], -1), train=train)
+        up = PatchExpand(128, 2, name="patch_expand1d")(hx2d)
+        hx1d = MU(128, 16, 128, 7, name="stage1d")(
+            jnp.concatenate([up, hx1], -1), train=train)
+
+        d1 = nn.Conv(self.num_classes, (3, 3), padding="SAME", name="side1")(hx1d)
+        d2 = nn.Conv(self.num_classes, (3, 3), padding="SAME", name="side2")(hx2d)
+        d3 = nn.Conv(self.num_classes, (3, 3), padding="SAME", name="side3")(hx3d)
+        d4 = nn.Conv(self.num_classes, (3, 3), padding="SAME", name="side4")(hx4d)
+        d5 = nn.Conv(self.num_classes, (3, 3), padding="SAME", name="side5")(hx5d)
+        d6 = nn.Conv(self.num_classes, (3, 3), padding="SAME", name="side6")(hx6)
+
+        cat = jnp.concatenate(
+            [d1] + [resize_linear(d, full_res, 2) for d in (d2, d3, d4, d5, d6)], -1)
+        d0 = nn.Conv(self.num_classes, (1, 1), name="outconv")(cat)
+
+        outs = [d0, d1, d2, d3, d4, d5, d6]
+        outs = [o.astype(jnp.float32) for o in outs]
+        return outs if self.deep_supervision else [outs[0]]
+
+
+def get_m2net_from_plans(plans_manager, dataset_json, configuration_manager,
+                         num_input_channels, deep_supervision=True,
+                         dtype=None, small=False):
+    label_manager = plans_manager.get_label_manager(dataset_json)
+    assert len(configuration_manager.patch_size) == 2, "M2Net is 2D-only"
+    cls = M2NetP if small else M2Net
+    return cls(num_classes=label_manager.num_segmentation_heads,
+               deep_supervision=deep_supervision)
+
+
+register_model("nnUNetTrainerM2Net", get_m2net_from_plans)
+register_model("nnUNetTrainerM2NetP",
+               lambda *a, **k: get_m2net_from_plans(*a, **k, small=True))

@@ -1,0 +1,157 @@
+"""SS2D: 4-direction visual selective scan (reference: `nnunetv2/nets/m2net.py:39-226`,
+same module in SwinUMamba/LightSS2DMambaUNet/swt2net).
+
+Channels-last Flax implementation. The 4 scan directions (row-major, column-major,
+and their reverses) become K=4 groups of one batched selective-scan call, which the
+Pallas kernel folds into its grid. Parameter initialization matches the reference:
+S4D-real ``A = 1..N`` (stored as log), ``D = 1``, dt projection with
+uniform(+-rank^-0.5) weight and inverse-softplus-distributed bias.
+
+Backend selection: ``NNUZOO_SCAN_BACKEND`` env (pallas|xla|ref) or auto
+(pallas on TPU).
+"""
+
+import math
+import os
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.selective_scan import selective_scan
+
+
+def scan_backend() -> Optional[str]:
+    return os.environ.get("NNUZOO_SCAN_BACKEND") or None
+
+
+def dt_bias_init(dt_min=0.001, dt_max=0.1, dt_init_floor=1e-4):
+    def init(key, shape, dtype=jnp.float32):
+        dt = jnp.exp(jax.random.uniform(key, shape, dtype) *
+                     (math.log(dt_max) - math.log(dt_min)) + math.log(dt_min))
+        dt = jnp.clip(dt, dt_init_floor, None)
+        return dt + jnp.log(-jnp.expm1(-dt))  # inverse softplus
+    return init
+
+
+def a_log_init(d_state):
+    def init(key, shape, dtype=jnp.float32):
+        # shape (..., d, n): S4D real init A = 1..N per channel
+        n = shape[-1]
+        a = jnp.arange(1, n + 1, dtype=dtype)
+        return jnp.broadcast_to(jnp.log(a), shape)
+    return init
+
+
+class SS2D(nn.Module):
+    d_model: int
+    d_state: int = 16
+    d_conv: int = 3
+    expand: int = 2
+    dt_rank: Optional[int] = None  # default ceil(d_model/16)
+    dropout: float = 0.0
+    conv_bias: bool = True
+    bias: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        """x: (B, H, W, d_model) -> same shape."""
+        B, H, W, _ = x.shape
+        d_inner = int(self.expand * self.d_model)
+        dt_rank = self.dt_rank or math.ceil(self.d_model / 16)
+        N = self.d_state
+        K = 4
+        L = H * W
+
+        xz = nn.Dense(d_inner * 2, use_bias=self.bias, name="in_proj")(x)
+        xpart, z = jnp.split(xz, 2, axis=-1)
+
+        # depthwise conv + SiLU (channels-last)
+        xc = nn.Conv(d_inner, (self.d_conv, self.d_conv), padding="SAME",
+                     feature_group_count=d_inner, use_bias=self.conv_bias,
+                     name="conv2d")(xpart)
+        xc = nn.silu(xc)
+
+        # build the 4 scan orders: (B, K, L, D)
+        x_hw = xc.reshape(B, L, d_inner)
+        x_wh = jnp.transpose(xc, (0, 2, 1, 3)).reshape(B, L, d_inner)
+        xs = jnp.stack([x_hw, x_wh, jnp.flip(x_hw, 1), jnp.flip(x_wh, 1)], axis=1)
+
+        # per-direction projections
+        x_proj_weight = self.param(
+            "x_proj_weight", nn.initializers.normal(0.02),
+            (K, dt_rank + 2 * N, d_inner))
+        x_dbl = jnp.einsum("bkld,kcd->bklc", xs, x_proj_weight)
+        dts, Bs, Cs = jnp.split(x_dbl, [dt_rank, dt_rank + N], axis=-1)
+
+        dt_std = dt_rank ** -0.5
+        dt_projs_weight = self.param(
+            "dt_projs_weight", nn.initializers.uniform(scale=2 * dt_std),
+            (K, d_inner, dt_rank))
+        # uniform(scale) gives [0, scale); shift to [-std, std)
+        dt_projs_weight = dt_projs_weight - dt_std
+        dt_projs_bias = self.param("dt_projs_bias", dt_bias_init(), (K, d_inner))
+
+        dts = jnp.einsum("bklr,kdr->bkld", dts, dt_projs_weight)
+
+        A_logs = self.param("A_logs", a_log_init(N), (K * d_inner, N))
+        Ds = self.param("Ds", nn.initializers.ones, (K * d_inner,))
+
+        # selective scan over (B, K*D, L) with grouped B/C
+        u = jnp.transpose(xs, (0, 1, 3, 2)).reshape(B, K * d_inner, L)
+        delta = jnp.transpose(dts, (0, 1, 3, 2)).reshape(B, K * d_inner, L)
+        Bmat = jnp.transpose(Bs, (0, 1, 3, 2))  # (B, K, N, L)
+        Cmat = jnp.transpose(Cs, (0, 1, 3, 2))
+        A = -jnp.exp(A_logs.astype(jnp.float32))
+
+        out_y = selective_scan(
+            u, delta, A, Bmat, Cmat, D=Ds,
+            delta_bias=dt_projs_bias.reshape(-1), delta_softplus=True,
+            backend=scan_backend()).reshape(B, K, d_inner, L)
+
+        # merge the 4 directions back into row-major order
+        y_hw = out_y[:, 0]
+        y_wh = out_y[:, 1]
+        y_hw_rev = jnp.flip(out_y[:, 2], -1)
+        y_wh_rev = jnp.flip(out_y[:, 3], -1)
+
+        def wh_to_hw(y):  # (B, D, L[wh-order]) -> (B, D, L[hw-order])
+            return jnp.transpose(y.reshape(B, d_inner, W, H),
+                                 (0, 1, 3, 2)).reshape(B, d_inner, L)
+
+        y = y_hw + y_hw_rev + wh_to_hw(y_wh) + wh_to_hw(y_wh_rev)
+        y = jnp.transpose(y, (0, 2, 1)).reshape(B, H, W, d_inner)
+        y = nn.LayerNorm(name="out_norm")(y)
+        y = y * nn.silu(z)
+        out = nn.Dense(self.d_model, use_bias=self.bias, name="out_proj")(y)
+        if self.dropout > 0 and train:
+            out = nn.Dropout(self.dropout, deterministic=not train)(out)
+        return out
+
+
+class VSSBlock(nn.Module):
+    """LN -> SS2D -> residual (reference `m2net.py:515-535`). DropPath omitted
+    (rate 0.2 linearly decayed; stochastic depth contributes little at these
+    depths and would add PRNG plumbing -- revisit if Dice parity demands)."""
+    hidden_dim: int
+    d_state: int = 16
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        return x + SS2D(d_model=self.hidden_dim, d_state=self.d_state,
+                        name="self_attention")(
+            nn.LayerNorm(epsilon=1e-6, name="ln_1")(x), train=train)
+
+
+class VSSLayer(nn.Module):
+    dim: int
+    depth: int
+    d_state: int = 16
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        for i in range(self.depth):
+            x = VSSBlock(self.dim, self.d_state, name=f"block{i}")(x, train=train)
+        return x

@@ -4,5 +4,6 @@ Each family module calls ``register_model`` at import. Families are added here a
 they are implemented; see SURVEY.md §2.2 for the full inventory.
 """
 
-# u2net, swin, unetr, ss2d/m2net etc. register themselves on import.
+# model families register themselves on import
+from . import m2net  # noqa: F401
 from . import u2net  # noqa: F401

@@ -494,6 +494,62 @@ class Trainer:
                 dl.stop()
         self.print_to_log_file("Training done.")
 
+    # ----------------------------------------------------------------- final val
+    def perform_actual_validation(self, save_probabilities: bool = False) -> dict:
+        """Sliding-window inference over the validation fold + Dice summary
+        (reference `nnUNetTrainer.py:1354-1504`)."""
+        from ..evaluation.metrics import compute_metrics_on_folder
+        from ..inference.export import export_prediction_from_logits
+        from ..inference.predictor import Predictor
+
+        predictor = Predictor(tile_step_size=0.5, use_gaussian=True,
+                              use_mirroring=True,
+                              allowed_mirroring_axes=None)
+        predictor.manual_initialization(
+            get_model_builder(self.trainer_name)(
+                self.plans_manager, self.dataset_json, self.configuration_manager,
+                self.num_input_channels, deep_supervision=False),
+            [self.state["params"]], self.plans_manager, self.configuration_manager,
+            self.dataset_json, self.trainer_name,
+            self.inference_allowed_mirroring_axes)
+
+        validation_output_folder = join(self.output_folder, "validation")
+        maybe_mkdir(validation_output_folder)
+        _, val_keys = self.do_split()
+        dataset_val = DatasetNumpy(self.preprocessed_dataset_folder, val_keys)
+
+        for k in val_keys:
+            data, seg, seg_prev, properties = dataset_val.load_case(k)
+            data = np.asarray(data, dtype=np.float32)
+            if seg_prev is not None:
+                from ..plans.label_handling import convert_labelmap_to_one_hot
+                data = np.vstack([data, convert_labelmap_to_one_hot(
+                    np.asarray(seg_prev)[0], self.label_manager.foreground_labels,
+                    np.float32)])
+            logits = predictor.predict_sliding_window_return_logits(data)
+            export_prediction_from_logits(
+                logits, properties, self.configuration_manager, self.plans_manager,
+                self.dataset_json, join(validation_output_folder, k),
+                save_probabilities)
+
+        gt_folder = join(self.preprocessed_dataset_folder_base, "gt_segmentations")
+        lm = self.label_manager
+        metrics = compute_metrics_on_folder(
+            gt_folder, validation_output_folder,
+            join(validation_output_folder, "summary.json"),
+            self.plans_manager.image_reader_writer_class(),
+            self.dataset_json["file_ending"],
+            lm.foreground_regions if lm.has_regions else lm.foreground_labels,
+            lm.ignore_label, num_processes=4)
+        self.print_to_log_file(
+            f"Validation complete. Mean Dice: "
+            f"{metrics['foreground_mean']['Dice']:.4f}")
+        return metrics
+
+    def set_deep_supervision_enabled(self, enabled: bool):
+        # models take deep_supervision at construction; nothing mutable needed here
+        pass
+
     # ----------------------------------------------------------------- checkpoint
     def save_checkpoint(self, filename: str) -> None:
         state_np = jax.tree.map(np.asarray, self.state)

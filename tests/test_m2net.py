@@ -1,0 +1,98 @@
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp
+
+from nnuzoo_tpu.models.ss2d import SS2D, VSSBlock
+from nnuzoo_tpu.models.vssm import MU, PatchExpand, PatchMerging2D
+
+
+class TestSS2DLayer:
+    def test_forward_shape(self, rng):
+        model = SS2D(d_model=16, d_state=8)
+        x = jnp.asarray(rng.rand(2, 8, 8, 16).astype(np.float32))
+        params = model.init(jax.random.PRNGKey(0), x)
+        y = model.apply(params, x)
+        assert y.shape == x.shape
+        assert np.isfinite(np.asarray(y)).all()
+
+    def test_gradients_flow(self, rng):
+        model = SS2D(d_model=8, d_state=4)
+        x = jnp.asarray(rng.rand(1, 4, 4, 8).astype(np.float32))
+        params = model.init(jax.random.PRNGKey(0), x)
+        g = jax.grad(lambda p: jnp.sum(model.apply(p, x) ** 2))(params)
+        leaves = jax.tree.leaves(g)
+        assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+        # A_logs and dt params must receive gradient
+        flat = jax.tree_util.tree_flatten_with_path(g)[0]
+        grads_by_name = {"/".join(str(k) for k in path): np.abs(np.asarray(v)).max()
+                         for path, v in flat}
+        a_grads = [v for k, v in grads_by_name.items() if "A_logs" in k]
+        assert a_grads and max(a_grads) > 0
+
+    def test_direction_sensitivity(self, rng):
+        """The scan is directional: permuting the image must change the output
+        differently than the same permutation of the output (non-pointwise)."""
+        model = SS2D(d_model=8, d_state=4)
+        x = jnp.asarray(rng.rand(1, 6, 6, 8).astype(np.float32))
+        params = model.init(jax.random.PRNGKey(0), x)
+        y = model.apply(params, x)
+        y_flip = model.apply(params, jnp.flip(x, 1))
+        assert not np.allclose(np.asarray(jnp.flip(y, 1)), np.asarray(y_flip),
+                               atol=1e-3)
+
+
+class TestPatchOps:
+    def test_merge_expand_shapes(self, rng):
+        x = jnp.asarray(rng.rand(1, 8, 8, 16).astype(np.float32))
+        m = PatchMerging2D(16, 2)
+        p = m.init(jax.random.PRNGKey(0), x)
+        y = m.apply(p, x)
+        assert y.shape == (1, 4, 4, 32)
+
+        e = PatchExpand(32, 2)
+        pe = e.init(jax.random.PRNGKey(0), y)
+        z = e.apply(pe, y)
+        assert z.shape == (1, 8, 8, 16)
+
+        e2 = PatchExpand(32, 2, output_dim=32)
+        pe2 = e2.init(jax.random.PRNGKey(0), y)
+        z2 = e2.apply(pe2, y)
+        assert z2.shape == (1, 8, 8, 32)
+
+
+class TestMU:
+    def test_forward(self, rng):
+        model = MU(in_ch=4, mid_ch=8, out_ch=16, n_layers=3)
+        x = jnp.asarray(rng.rand(1, 8, 8, 4).astype(np.float32))
+        params = model.init(jax.random.PRNGKey(0), x)
+        y = model.apply(params, x)
+        assert y.shape == (1, 8, 8, 16)
+
+
+class TestM2Net:
+    @pytest.mark.parametrize("small", [True, False])
+    def test_shapes(self, rng, small):
+        from nnuzoo_tpu.models.m2net import M2Net, M2NetP
+        cls = M2NetP if small else M2Net
+        model = cls(num_classes=3)
+        # patch must be divisible by 64 (5 stage halvings + MU-internal downs)
+        x = jnp.asarray(rng.rand(1, 64, 64, 2).astype(np.float32))
+        params = model.init(jax.random.PRNGKey(0), x)
+        outs = model.apply(params, x)
+        assert len(outs) == 7
+        assert outs[0].shape == (1, 64, 64, 3)   # d0 full res
+        assert outs[1].shape == (1, 64, 64, 3)   # d1 full res
+        assert outs[2].shape == (1, 32, 32, 3)   # d2 half
+        assert outs[3].shape == (1, 16, 16, 3)
+        assert outs[4].shape == (1, 8, 8, 3)
+        assert outs[5].shape == (1, 4, 4, 3)     # d5 1/16
+        assert outs[6].shape == (1, 2, 2, 3)     # d6 1/32
+        for o in outs:
+            assert np.isfinite(np.asarray(o)).all()
+
+    def test_registry(self):
+        from nnuzoo_tpu.models.registry import get_model_builder
+        assert get_model_builder("nnUNetTrainerM2NetP") is not None
+        assert get_model_builder("nnUNetTrainerM2Net") is not None
