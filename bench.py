@@ -39,11 +39,16 @@ def main():
     opt_state = tx.init(params)
 
     ips = tuple(int(np.ceil(p * 1.18)) for p in patch)
+    if trainer_name.startswith("nnUNetTrainerM2Net"):
+        # x2net deep-supervision scales: d0/d1 full res, then halving
+        ds_scales = tuple([(1.0, 1.0), (1.0, 1.0)] +
+                          [(0.5 ** i, 0.5 ** i) for i in range(1, 6)])
+    else:
+        ds_scales = tuple(tuple(0.5 ** i for _ in patch) for i in range(5))
     aug_cfg = AugmentConfig(
         patch_size=patch, initial_patch_size=ips, rotation=np.pi,
         mirror_axes=(0, 1), use_mask_for_norm=(False,),
-        deep_supervision_scales=tuple(
-            tuple(0.5 ** i for _ in patch) for i in range(5)))
+        deep_supervision_scales=ds_scales)
 
     def to_cl(t):
         return jnp.moveaxis(t, 1, -1)

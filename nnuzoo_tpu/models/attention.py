@@ -1,0 +1,172 @@
+"""Transformer primitives: ViT blocks and Swin windowed attention.
+
+TPU-native: attention via jnp.einsum on the MXU; windows partitioned by reshape
+(static shapes). References: `nnunetv2/nets/unetr2net.py:568` (ViT Block),
+`nnunetv2/nets/swt.py:280-460` (WindowAttention / SwinTransformerBlock).
+"""
+
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class MLP(nn.Module):
+    hidden_dim: int
+    out_dim: int
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        x = nn.Dense(self.hidden_dim, name="fc1")(x)
+        x = nn.gelu(x)
+        x = nn.Dense(self.out_dim, name="fc2")(x)
+        return x
+
+
+class Attention(nn.Module):
+    num_heads: int
+    qkv_bias: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        B, L, C = x.shape
+        head_dim = C // self.num_heads
+        qkv = nn.Dense(3 * C, use_bias=self.qkv_bias, name="qkv")(x)
+        q, k, v = jnp.split(qkv.reshape(B, L, 3, self.num_heads, head_dim)
+                            .transpose(2, 0, 3, 1, 4), 3, axis=0)
+        q, k, v = q[0], k[0], v[0]  # (B, heads, L, hd)
+        attn = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                          preferred_element_type=jnp.float32) * head_dim ** -0.5
+        attn = jax.nn.softmax(attn, axis=-1)
+        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(B, L, C)
+        return nn.Dense(C, name="proj")(out)
+
+
+class ViTBlock(nn.Module):
+    """Pre-LN transformer block (reference `unetr2net.py:568`)."""
+    num_heads: int
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        C = x.shape[-1]
+        x = x + Attention(self.num_heads, self.qkv_bias, name="attn")(
+            nn.LayerNorm(name="norm1")(x))
+        x = x + MLP(int(C * self.mlp_ratio), C, name="mlp")(
+            nn.LayerNorm(name="norm2")(x), train=train)
+        return x
+
+
+def window_partition(x, window: int):
+    """(B, H, W, C) -> (B*nW, window*window, C)."""
+    B, H, W, C = x.shape
+    x = x.reshape(B, H // window, window, W // window, window, C)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(-1, window * window, C)
+
+
+def window_reverse(wins, window: int, H: int, W: int):
+    B = wins.shape[0] // ((H // window) * (W // window))
+    x = wins.reshape(B, H // window, W // window, window, window, -1)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(B, H, W, -1)
+
+
+class WindowAttention(nn.Module):
+    """Windowed MHSA with relative position bias (reference `swt.py:280`)."""
+    window: int
+    num_heads: int
+    qkv_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x, mask: Optional[jnp.ndarray] = None):
+        Bn, L, C = x.shape  # L = window^2
+        head_dim = C // self.num_heads
+        w = self.window
+
+        rel_bias_table = self.param(
+            "relative_position_bias_table",
+            nn.initializers.truncated_normal(0.02),
+            ((2 * w - 1) * (2 * w - 1), self.num_heads))
+        coords = np.stack(np.meshgrid(np.arange(w), np.arange(w),
+                                      indexing="ij")).reshape(2, -1)
+        rel = coords[:, :, None] - coords[:, None, :]
+        rel = rel.transpose(1, 2, 0) + (w - 1)
+        rel_index = rel[..., 0] * (2 * w - 1) + rel[..., 1]  # (L, L)
+
+        qkv = nn.Dense(3 * C, use_bias=self.qkv_bias, name="qkv")(x)
+        q, k, v = jnp.split(qkv.reshape(Bn, L, 3, self.num_heads, head_dim)
+                            .transpose(2, 0, 3, 1, 4), 3, axis=0)
+        q, k, v = q[0], k[0], v[0]
+        attn = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                          preferred_element_type=jnp.float32) * head_dim ** -0.5
+        bias = rel_bias_table[jnp.asarray(rel_index.reshape(-1))].reshape(
+            L, L, self.num_heads).transpose(2, 0, 1)
+        attn = attn + bias[None]
+        if mask is not None:
+            nW = mask.shape[0]
+            attn = attn.reshape(Bn // nW, nW, self.num_heads, L, L) + \
+                mask[None, :, None]
+            attn = attn.reshape(Bn, self.num_heads, L, L)
+        attn = jax.nn.softmax(attn, axis=-1)
+        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(Bn, L, C)
+        return nn.Dense(C, name="proj")(out)
+
+
+def _shift_attn_mask(H, W, window, shift):
+    """Attention mask for shifted windows (Swin)."""
+    img_mask = np.zeros((1, H, W, 1))
+    cnt = 0
+    for h_sl in (slice(0, -window), slice(-window, -shift), slice(-shift, None)):
+        for w_sl in (slice(0, -window), slice(-window, -shift),
+                     slice(-shift, None)):
+            img_mask[:, h_sl, w_sl, :] = cnt
+            cnt += 1
+    mask_windows = img_mask.reshape(1, H // window, window, W // window, window, 1)
+    mask_windows = mask_windows.transpose(0, 1, 3, 2, 4, 5).reshape(
+        -1, window * window)
+    diff = mask_windows[:, None, :] - mask_windows[:, :, None]
+    return jnp.asarray(np.where(diff != 0, -100.0, 0.0), jnp.float32)
+
+
+class SwinBlock(nn.Module):
+    """(Shifted-)window transformer block (reference `swt.py:384`)."""
+    num_heads: int
+    window: int = 7
+    shift: int = 0
+    mlp_ratio: float = 4.0
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        B, H, W, C = x.shape
+        window = min(self.window, H, W)
+        shift = self.shift if window < min(H, W) else 0
+        # pad to window multiples
+        pad_h = (-H) % window
+        pad_w = (-W) % window
+        shortcut = x
+        h = nn.LayerNorm(name="norm1")(x)
+        if pad_h or pad_w:
+            h = jnp.pad(h, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+        Hp, Wp = H + pad_h, W + pad_w
+
+        if shift > 0:
+            h = jnp.roll(h, (-shift, -shift), axis=(1, 2))
+            mask = _shift_attn_mask(Hp, Wp, window, shift)
+        else:
+            mask = None
+        wins = window_partition(h, window)
+        wins = WindowAttention(window, self.num_heads, name="attn")(wins, mask)
+        h = window_reverse(wins, window, Hp, Wp)
+        if shift > 0:
+            h = jnp.roll(h, (shift, shift), axis=(1, 2))
+        if pad_h or pad_w:
+            h = h[:, :H, :W]
+        x = shortcut + h
+        x = x + MLP(int(C * self.mlp_ratio), C, name="mlp")(
+            nn.LayerNorm(name="norm2")(x), train=train)
+        return x

@@ -1,0 +1,133 @@
+"""SwinUMamba / SwinUMambaD (reference: `nnunetv2/nets/SwinUMamba.py:456-717`,
+`nnunetv2/nets/SwinUMambaD.py:530-780`).
+
+Conv stem (7x7 stride 2) -> VSSM encoder (patch 2, depths 2/2/9/2, dims
+96/192/384/768 of SS2D blocks with PatchMerging) -> UNETR-style residual conv
+decoder (SwinUMamba) or a Mamba-based decoder (SwinUMambaD). Deep supervision at
+/1, /2, /4, /8. 2D.
+"""
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from .registry import register_model
+from .ss2d import VSSLayer
+from .unetr import UnetrBasicBlock, UnetrUpBlock
+from .vssm import PatchEmbed2D, PatchExpand, PatchMerging2D
+
+
+class _VSSMBackbone(nn.Module):
+    depths: Sequence[int] = (2, 2, 9, 2)
+    dims: Sequence[int] = (96, 192, 384, 768)
+    patch_size: int = 2
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        outs = [x]
+        h = PatchEmbed2D(self.patch_size, self.dims[0], name="patch_embed")(x)
+        for i, depth in enumerate(self.depths):
+            h = VSSLayer(self.dims[i], depth, name=f"layer{i}")(h, train=train)
+            outs.append(h)
+            if i < len(self.depths) - 1:
+                h = PatchMerging2D(self.dims[i], 2, self.dims[i + 1],
+                                   name=f"down{i}")(h)
+        return outs
+
+
+class SwinUMamba(nn.Module):
+    num_classes: int
+    feat_size: Sequence[int] = (48, 96, 192, 384, 768)
+    deep_supervision: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        f = self.feat_size
+        stem = nn.Conv(f[0], (7, 7), strides=(2, 2), padding="SAME",
+                       name="stem_conv")(x)
+        stem = nn.GroupNorm(num_groups=None, group_size=1, epsilon=1e-5,
+                            name="stem_norm")(stem)
+        vss_outs = _VSSMBackbone(name="vssm_encoder")(stem, train=train)
+
+        enc1 = UnetrBasicBlock(f[0], 2, name="encoder1")(x)            # /1
+        enc2 = UnetrBasicBlock(f[1], 2, name="encoder2")(vss_outs[0])  # /2
+        enc3 = UnetrBasicBlock(f[2], 2, name="encoder3")(vss_outs[1])  # /4
+        enc4 = UnetrBasicBlock(f[3], 2, name="encoder4")(vss_outs[2])  # /8
+        enc5 = UnetrBasicBlock(f[4], 2, name="encoder5")(vss_outs[3])  # /16
+        enc_hidden = vss_outs[4]                                       # /32 768
+
+        dec4 = UnetrUpBlock(f[4], 2, name="decoder6")(enc_hidden, enc5)
+        dec3 = UnetrUpBlock(f[3], 2, name="decoder5")(dec4, enc4)
+        dec2 = UnetrUpBlock(f[2], 2, name="decoder4")(dec3, enc3)
+        dec1 = UnetrUpBlock(f[1], 2, name="decoder3")(dec2, enc2)
+        dec0 = UnetrUpBlock(f[0], 2, name="decoder2")(dec1, enc1)
+        dec_out = UnetrBasicBlock(f[0], 2, name="decoder1")(dec0)
+
+        # heads at /1, /2, /4, /8 (reference `SwinUMamba.py:598-620`)
+        feat_out = [dec_out, dec1, dec2, dec3]
+        outs = []
+        n = 4 if self.deep_supervision else 1
+        for i in range(4):
+            if i < n:
+                outs.append(nn.Conv(self.num_classes, (1, 1),
+                                    name=f"out{i}")(feat_out[i])
+                            .astype(jnp.float32))
+        return outs
+
+
+class SwinUMambaD(nn.Module):
+    """Same encoder; decoder built from VSS (mamba) blocks with PatchExpand
+    upsampling (reference `SwinUMambaD.py:530-641` UNetResDecoder)."""
+    num_classes: int
+    feat_size: Sequence[int] = (48, 96, 192, 384, 768)
+    deep_supervision: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        f = self.feat_size
+        stem = nn.Conv(f[0], (7, 7), strides=(2, 2), padding="SAME",
+                       name="stem_conv")(x)
+        stem = nn.GroupNorm(num_groups=None, group_size=1, epsilon=1e-5,
+                            name="stem_norm")(stem)
+        vss_outs = _VSSMBackbone(name="vssm_encoder")(stem, train=train)
+
+        skips = [stem, vss_outs[1], vss_outs[2], vss_outs[3]]  # /2 /4 /8 /16
+        h = vss_outs[4]  # /32
+        dims = (96, 192, 384, 768)
+        dec_feats = []
+        for i in range(3, -1, -1):
+            target_c = dims[i - 1] if i > 0 else f[0]
+            h = PatchExpand(h.shape[-1], 2, output_dim=skips[i].shape[-1],
+                            name=f"expand{i}")(h)
+            h = jnp.concatenate([h, skips[i]], -1)
+            h = nn.Dense(skips[i].shape[-1], name=f"concat_back{i}")(h)
+            h = VSSLayer(skips[i].shape[-1], 1, name=f"dec_vss{i}")(h, train=train)
+            dec_feats.append(h)
+
+        # final upsample to input resolution
+        out_full = PatchExpand(h.shape[-1], 2, output_dim=f[0],
+                               name="final_expand")(h)
+        feat_out = [out_full, dec_feats[-1], dec_feats[-2], dec_feats[-3]]
+        outs = []
+        n = 4 if self.deep_supervision else 1
+        for i in range(n):
+            outs.append(nn.Conv(self.num_classes, (1, 1),
+                                name=f"out{i}")(feat_out[i]).astype(jnp.float32))
+        return outs
+
+
+def get_swin_umamba_from_plans(plans_manager, dataset_json, configuration_manager,
+                               num_input_channels, deep_supervision=True,
+                               dtype=None, mamba_decoder=False):
+    label_manager = plans_manager.get_label_manager(dataset_json)
+    assert len(configuration_manager.patch_size) == 2, "SwinUMamba is 2D-only"
+    cls = SwinUMambaD if mamba_decoder else SwinUMamba
+    return cls(num_classes=label_manager.num_segmentation_heads,
+               deep_supervision=deep_supervision)
+
+
+register_model("nnUNetTrainerSwinUMamba", get_swin_umamba_from_plans)
+register_model("nnUNetTrainerSwinUMambaD",
+               lambda *a, **k: get_swin_umamba_from_plans(*a, **k,
+                                                          mamba_decoder=True))

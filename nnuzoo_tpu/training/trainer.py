@@ -138,6 +138,9 @@ class Trainer:
             return tuple(tuple(float(x) for x in s) for s in scales)
         if cfg.ds_mode == "fullres":
             return tuple((1.0,) * dim for _ in range(cfg.num_ds_outputs))
+        if cfg.ds_mode == "halving":
+            return tuple(tuple(1.0 / (2 ** i) for _ in range(dim))
+                         for i in range(cfg.num_ds_outputs))
         if cfg.ds_mode == "x2net":
             # (reference `nnUNetTrainerM2Net.py:49-56`): d0, d1 full, then halving
             scales = [(1.0,) * dim, (1.0,) * dim]

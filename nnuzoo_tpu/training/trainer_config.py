@@ -58,14 +58,11 @@ TRAINER_CONFIGS = {
                                   enable_deep_supervision=False),
     "nnUNetTrainerSwinTransformerUnet": replace(_ZOO, enable_deep_supervision=False),
     "nnUNetTrainerSwUNETR": replace(_ZOO, enable_deep_supervision=False),
-    # mamba models
-    "nnUNetTrainerSwinUMamba": _ZOO,
-    "nnUNetTrainerSwinUMambaD": _ZOO,
+    # mamba models (DS heads at /1, /2, /4, /8)
+    "nnUNetTrainerSwinUMamba": replace(_ZOO, ds_mode="halving", num_ds_outputs=4),
+    "nnUNetTrainerSwinUMambaD": replace(_ZOO, ds_mode="halving", num_ds_outputs=4),
     "nnUNetTrainerLightMUNet": _LIGHT,
-    "nnUNetTrainerLightSS2DMambaUNet": replace(_LIGHT,
-                                               enable_deep_supervision=True,
-                                               ds_mode="fullres",
-                                               num_ds_outputs=7),
+    "nnUNetTrainerLightSS2DMambaUNet": _LIGHT,
     "nnUNetTrainerSegMamba": replace(_ZOO, enable_deep_supervision=False),
     # X2Net hybrids: 7 outputs at (1, 1, 1/2, 1/4, 1/8, 1/16, 1/32)
     "nnUNetTrainerM2Net": replace(_ZOO, ds_mode="x2net", num_ds_outputs=7),
