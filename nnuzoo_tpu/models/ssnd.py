@@ -1,0 +1,102 @@
+"""SSND: the SS2D cross-scan generalized to N dimensions (reference:
+`nnunetv2/nets/ssnd2net.py:73-302`).
+
+2D: K=4 directions (row-major, transposed, + flips). 3D: K=6 (zhw, wzh, hwz
+axis rotations + flips). Note: the reference's 3D merge re-uses direction index 1
+for the hwz branch (`ssnd2net.py:292-296`), an apparent indexing slip; we merge
+each direction with its own output, which is the evident intent.
+"""
+
+import math
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops.selective_scan import selective_scan
+from .ss2d import a_log_init, dt_bias_init, scan_backend
+
+
+class SSND(nn.Module):
+    d_model: int
+    spatial_dims: int = 3
+    d_state: int = 16
+    d_conv: int = 3
+    expand: int = 2
+    dt_rank: Optional[int] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        """x: (B, *spatial, d_model) -> same shape. spatial is (H, W) or (Z, H, W)."""
+        dim = self.spatial_dims
+        spatial = x.shape[1:-1]
+        B = x.shape[0]
+        L = int(jnp.prod(jnp.array(spatial))) if False else int(
+            math.prod(spatial))
+        d_inner = int(self.expand * self.d_model)
+        dt_rank = self.dt_rank or math.ceil(self.d_model / 16)
+        N = self.d_state
+        K = 2 * dim
+
+        xz = nn.Dense(d_inner * 2, use_bias=False, name="in_proj")(x)
+        xpart, z = jnp.split(xz, 2, axis=-1)
+        xc = nn.Conv(d_inner, (self.d_conv,) * dim, padding="SAME",
+                     feature_group_count=d_inner, name="conv")(xpart)
+        xc = nn.silu(xc)
+
+        # axis orders: 2D -> (h,w), (w,h); 3D -> (z,h,w), (w,z,h), (h,w,z)
+        if dim == 2:
+            orders = [(0, 1), (1, 0)]
+        else:
+            orders = [(0, 1, 2), (2, 0, 1), (1, 2, 0)]
+
+        seqs = []
+        for order in orders:
+            perm = (0,) + tuple(o + 1 for o in order) + (dim + 1,)
+            seqs.append(jnp.transpose(xc, perm).reshape(B, L, d_inner))
+        fwd = jnp.stack(seqs, 1)                       # (B, dim, L, D)
+        xs = jnp.concatenate([fwd, jnp.flip(fwd, 2)], 1)  # (B, K, L, D)
+
+        x_proj_weight = self.param("x_proj_weight", nn.initializers.normal(0.02),
+                                   (K, dt_rank + 2 * N, d_inner))
+        x_dbl = jnp.einsum("bkld,kcd->bklc", xs, x_proj_weight)
+        dts, Bs, Cs = jnp.split(x_dbl, [dt_rank, dt_rank + N], -1)
+        dt_std = dt_rank ** -0.5
+        dt_w = self.param("dt_projs_weight",
+                          nn.initializers.uniform(scale=2 * dt_std),
+                          (K, d_inner, dt_rank)) - dt_std
+        dt_b = self.param("dt_projs_bias", dt_bias_init(), (K, d_inner))
+        dts = jnp.einsum("bklr,kdr->bkld", dts, dt_w)
+
+        A_logs = self.param("A_logs", a_log_init(N), (K * d_inner, N))
+        Ds = self.param("Ds", nn.initializers.ones, (K * d_inner,))
+        A = -jnp.exp(A_logs.astype(jnp.float32))
+
+        out_y = selective_scan(
+            jnp.transpose(xs, (0, 1, 3, 2)).reshape(B, K * d_inner, L),
+            jnp.transpose(dts, (0, 1, 3, 2)).reshape(B, K * d_inner, L),
+            A, jnp.transpose(Bs, (0, 1, 3, 2)), jnp.transpose(Cs, (0, 1, 3, 2)),
+            D=Ds, delta_bias=dt_b.reshape(-1), delta_softplus=True,
+            backend=scan_backend()).reshape(B, K, d_inner, L)
+
+        # merge: un-flip the reversed half, un-permute each order
+        y = 0
+        for k, order in enumerate(orders):
+            inv = [0] * dim
+            for i, o in enumerate(order):
+                inv[o] = i
+            for flip in (False, True):
+                yk = out_y[:, k + (dim if flip else 0)]  # (B, D, L)
+                if flip:
+                    yk = jnp.flip(yk, -1)
+                permuted_spatial = tuple(spatial[o] for o in order)
+                yk = yk.reshape(B, d_inner, *permuted_spatial)
+                perm_back = (0, 1) + tuple(2 + inv[i] for i in range(dim))
+                yk = jnp.transpose(yk, perm_back).reshape(B, d_inner, L)
+                y = y + yk
+
+        y = jnp.transpose(y, (0, 2, 1)).reshape(B, *spatial, d_inner)
+        y = nn.LayerNorm(name="out_norm")(y)
+        y = y * nn.silu(z)
+        return nn.Dense(self.d_model, use_bias=False, name="out_proj")(y)

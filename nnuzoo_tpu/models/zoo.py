@@ -7,8 +7,10 @@ they are implemented; see SURVEY.md §2.2 for the full inventory.
 # model families register themselves on import
 from . import light_munet  # noqa: F401
 from . import m2net  # noqa: F401
+from . import x2net  # noqa: F401
 from . import seg_mamba  # noqa: F401
 from . import swin_umamba  # noqa: F401
 from . import swt  # noqa: F401
 from . import u2net  # noqa: F401
+from . import u2net_multi  # noqa: F401
 from . import unetr  # noqa: F401

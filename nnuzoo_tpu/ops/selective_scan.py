@@ -271,9 +271,10 @@ def _bwd_kernel(u_ref, delta_ref, a_mat_ref, b_ref, c_ref, dy_ref, carry_ref,
 
 
 def _pick_chunk(L: int, dstate: int, dim: int) -> int:
-    """Largest power-of-two chunk with ~6 (T, N, D) fp32 tiles under ~8 MB VMEM."""
+    """Largest power-of-two chunk with ~6 (T, N, D) fp32 tiles under ~8 MB VMEM.
+    VMEM tiles are lane-padded to 128 internally, so budget with max(dim, 128)."""
     budget = 8 * 1024 * 1024
-    t = budget // max(1, 6 * dstate * dim * 4)
+    t = budget // max(1, 6 * dstate * max(dim, 128) * 4)
     t = 2 ** int(math.floor(math.log2(max(t, 8))))
     return int(max(8, min(t, 512, L)))
 
@@ -386,8 +387,10 @@ def selective_scan_pallas(u, delta, A, B, C, D=None, z=None, delta_bias=None,
     B_k = jnp.transpose(B.astype(jnp.float32), (0, 1, 3, 2)).reshape(G, L, dstate)
     C_k = jnp.transpose(C.astype(jnp.float32), (0, 1, 3, 2)).reshape(G, L, dstate)
 
-    # pad channel dim to lanes and L to chunk multiple
-    dpad = (-gdim) % 128
+    # Mosaic pads tiles to the 128-lane boundary internally; no host-side channel
+    # padding needed (it would materialize huge padded copies in HBM). Only pad
+    # very small channel dims up to the fp32 sublane multiple.
+    dpad = (-gdim) % 8 if gdim < 8 else 0
     if dpad:
         u_k = jnp.pad(u_k, ((0, 0), (0, 0), (0, dpad)))
         delta_k = jnp.pad(delta_k, ((0, 0), (0, 0), (0, dpad)))
