@@ -162,7 +162,7 @@ def evaluate_folder_entry(argv=None):
     from ..utilities.io import join, load_json
     dataset_json = load_json(a.djfile)
     plans_manager = PlansManager(load_json(a.pfile))
-    rw = plans_manager.image_reader_writer_class()()
+    rw = plans_manager.image_reader_writer_class()
     out_file = a.o if a.o else join(a.pred_folder, "summary.json")
     target_type = dataset_json.get("target_type", "segmentation")
     if target_type == "translation":

@@ -120,7 +120,7 @@ def find_best_configuration(dataset_name_or_id,
                              "gt_segmentations")
             summary = compute_metrics_on_folder(
                 gt_folder, ens_dir, join(ens_dir, "summary.json"),
-                plans_manager.image_reader_writer_class()(),
+                plans_manager.image_reader_writer_class(),
                 dataset_json["file_ending"],
                 lm.foreground_regions if lm.has_regions else lm.foreground_labels,
                 lm.ignore_label, num_processes)

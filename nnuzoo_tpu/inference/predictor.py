@@ -235,16 +235,31 @@ class Predictor:
                        "checkpoint_trainer": self.trainer_name},
                       join(out_folder, "predict_from_raw_data_args.json"))
 
+        # pipelined: background thread preprocesses case i+1 while the device runs
+        # case i; export also happens off the critical path (reference
+        # `data_iterators.py:60-117` + export pool semantics)
+        from concurrent.futures import ThreadPoolExecutor
         preprocessor = DefaultPreprocessor(verbose=self.verbose)
-        for files, out_trunc in zip(list_of_lists, out_truncated):
-            data, seg_prev, properties = self._preprocess_one(
-                preprocessor, files, folder_with_segs_from_prev_stage)
-            logits = self.predict_logits_from_preprocessed_data(data)
-            export_prediction_from_logits(
-                logits, properties, self.configuration_manager,
-                self.plans_manager, dataset_json, out_trunc, save_probabilities)
-            if self.verbose:
-                print(f"predicted {out_trunc}")
+
+        def prep(files):
+            return self._preprocess_one(preprocessor, files,
+                                        folder_with_segs_from_prev_stage)
+
+        with ThreadPoolExecutor(max_workers=1) as prep_pool, \
+                ThreadPoolExecutor(max_workers=2) as export_pool:
+            futures = [prep_pool.submit(prep, files) for files in list_of_lists]
+            export_futures = []
+            for fut, out_trunc in zip(futures, out_truncated):
+                data, seg_prev, properties = fut.result()
+                logits = self.predict_logits_from_preprocessed_data(data)
+                export_futures.append(export_pool.submit(
+                    export_prediction_from_logits, logits, properties,
+                    self.configuration_manager, self.plans_manager, dataset_json,
+                    out_trunc, save_probabilities))
+                if self.verbose:
+                    print(f"predicted {out_trunc}")
+            for ef in export_futures:
+                ef.result()
 
     def _preprocess_one(self, preprocessor, files, prev_stage_folder):
         data, _, properties = preprocessor.run_case(

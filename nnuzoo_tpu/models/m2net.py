@@ -156,3 +156,6 @@ def get_m2net_from_plans(plans_manager, dataset_json, configuration_manager,
 register_model("nnUNetTrainerM2Net", get_m2net_from_plans)
 register_model("nnUNetTrainerM2NetP",
                lambda *a, **k: get_m2net_from_plans(*a, **k, small=True))
+# fine-tuning trainer uses the M2Net architecture (reference
+# nnUNetTrainerFineTuneDecoderWarmUp builds M2Net)
+register_model("nnUNetTrainerFineTuneDecoderWarmUp", get_m2net_from_plans)

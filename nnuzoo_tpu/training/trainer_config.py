@@ -75,6 +75,11 @@ TRAINER_CONFIGS = {
     "nnUNetTrainerMambaND2Net": replace(_ZOO, ds_mode="x2net", num_ds_outputs=7),
 }
 
+# fine-tuning trainer (reference nnUNetTrainerFineTuneDecoderWarmUp): M2Net-style
+# schedule with warmup; encoder freezing is a later-round TODO (optax.masked)
+TRAINER_CONFIGS["nnUNetTrainerFineTuneDecoderWarmUp"] = replace(
+    _ZOO, ds_mode="x2net", num_ds_outputs=7)
+
 _FRACTIONS = {"_05Percent": 0.05, "_10Percent": 0.10, "_25Percent": 0.25,
               "_50Percent": 0.50, "_75Percent": 0.75}
 
