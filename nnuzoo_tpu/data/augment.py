@@ -86,6 +86,12 @@ class AugmentConfig:
     p_rotation: float = 0.2
     p_scaling: float = 0.2
     scale_range: Tuple[float, float] = (0.7, 1.4)
+    # cascade: seg channel 1 is the previous-stage prediction, moved into the data
+    # as one-hot fg channels (reference MoveSegAsOneHotToDataTransform). The
+    # reference's random binary-operator / component-removal noise on those
+    # channels is morphological (not jit-expressible); omitted for now.
+    is_cascaded: bool = False
+    foreground_labels: Tuple[int, ...] = ()
 
     @property
     def dim(self):
@@ -388,8 +394,20 @@ def _augment_sample(cfg: AugmentConfig, key, data, seg):
                                    jnp.where(mask[0], data[c], 0.0), data[c]))
         data = jnp.stack(chans)
 
+    data, seg = _cascade_move(cfg, data, seg)
     targets = make_seg_targets(cfg, seg) if seg is not None else None
     return data, targets
+
+
+def _cascade_move(cfg: AugmentConfig, data, seg):
+    """Move the prev-stage seg (channel 1) into the data as one-hot fg channels
+    (reference MoveSegAsOneHotToDataTransform)."""
+    if not cfg.is_cascaded or seg is None:
+        return data, seg
+    prev = seg[1]
+    onehot = jnp.stack([(prev == l).astype(data.dtype)
+                        for l in cfg.foreground_labels])
+    return jnp.concatenate([data, onehot], axis=0), seg[0:1]
 
 
 @partial(jax.jit, static_argnums=0)
@@ -402,6 +420,10 @@ def augment_train_batch(cfg: AugmentConfig, key, data, seg):
 
 @partial(jax.jit, static_argnums=0)
 def prepare_val_batch(cfg: AugmentConfig, data, seg):
-    """Validation: no augmentation, only RemoveLabel + regions + DS downsample."""
-    targets = jax.vmap(lambda s: make_seg_targets(cfg, s))(seg)
+    """Validation: no augmentation, only cascade move + RemoveLabel + regions +
+    DS downsample."""
+    def one(d, s):
+        d, s = _cascade_move(cfg, d, s)
+        return d, make_seg_targets(cfg, s)
+    data, targets = jax.vmap(one)(data, seg)
     return data, targets

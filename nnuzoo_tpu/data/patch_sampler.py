@@ -153,8 +153,10 @@ class PatchSampler:
                 pad = 0 if self.target_type == "translation" else -1
                 seg_c = crop_and_pad_nd(np.asarray(seg), bbox, pad)
                 if seg_prev is not None:
-                    seg_c = np.vstack((seg_c, crop_and_pad_nd(
-                        np.asarray(seg_prev), bbox, -1)))
+                    sp = np.asarray(seg_prev)
+                    if sp.ndim == len(bbox):  # stored without channel axis
+                        sp = sp[None]
+                    seg_c = np.vstack((seg_c, crop_and_pad_nd(sp, bbox, -1)))
                 if seg_all is None:
                     seg_all = np.zeros((self.batch_size, seg_c.shape[0],
                                         *self.patch_size), dtype=seg_dtype)

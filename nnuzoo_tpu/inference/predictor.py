@@ -261,6 +261,57 @@ class Predictor:
             for ef in export_futures:
                 ef.result()
 
+    # ------------------------------------------------------------------ npy APIs
+    def predict_single_npy_array(self, input_image: np.ndarray,
+                                 image_properties: dict,
+                                 segmentation_previous_stage: np.ndarray = None,
+                                 output_file_truncated: Optional[str] = None,
+                                 save_or_return_probabilities: bool = False):
+        """Predict one (c, x, y, z) raw array (reference
+        `predict_from_raw_data.py:predict_single_npy_array`)."""
+        from ..plans.label_handling import convert_labelmap_to_one_hot
+        preprocessor = DefaultPreprocessor(verbose=self.verbose)
+        props = dict(image_properties)
+        data, seg = preprocessor.run_case_npy(
+            input_image,
+            segmentation_previous_stage[None].astype(np.int8)
+            if segmentation_previous_stage is not None else None,
+            props, self.plans_manager, self.configuration_manager,
+            self.dataset_json)
+        if segmentation_previous_stage is not None and seg is not None:
+            onehot = convert_labelmap_to_one_hot(
+                seg[0], self.label_manager.foreground_labels, np.float32)
+            data = np.vstack([data, onehot])
+        logits = self.predict_logits_from_preprocessed_data(data)
+        if output_file_truncated is not None:
+            export_prediction_from_logits(
+                logits, props, self.configuration_manager, self.plans_manager,
+                self.dataset_json, output_file_truncated,
+                save_or_return_probabilities)
+            return None
+        from .export import \
+            convert_predicted_logits_to_segmentation_with_correct_shape
+        ret = convert_predicted_logits_to_segmentation_with_correct_shape(
+            logits, self.plans_manager, self.configuration_manager,
+            self.label_manager, props,
+            return_probabilities=save_or_return_probabilities)
+        return ret
+
+    def predict_from_list_of_npy_arrays(self, image_list, segs_prev_stage,
+                                        properties_list, truncated_output_files,
+                                        save_probabilities: bool = False):
+        """Reference `predict_from_raw_data.py:predict_from_list_of_npy_arrays`."""
+        if segs_prev_stage is None:
+            segs_prev_stage = [None] * len(image_list)
+        results = []
+        for img, seg_prev, props, out in zip(image_list, segs_prev_stage,
+                                             properties_list,
+                                             truncated_output_files or
+                                             [None] * len(image_list)):
+            results.append(self.predict_single_npy_array(
+                img, props, seg_prev, out, save_probabilities))
+        return results
+
     def _preprocess_one(self, preprocessor, files, prev_stage_folder):
         data, _, properties = preprocessor.run_case(
             files, None, self.plans_manager, self.configuration_manager,

@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.selective_scan import selective_scan
+from ..ops.selective_scan import selective_scan, selective_scan_blkd
 
 
 def scan_backend() -> Optional[str]:
@@ -74,16 +74,17 @@ class SS2D(nn.Module):
                      name="conv2d")(xpart)
         xc = nn.silu(xc)
 
-        # build the 4 scan orders: (B, K, L, D)
+        # build the 4 scan orders in (B, L, K, D) layout -- K lives next to the
+        # channel dim so the kernel packs K*D into lanes via a pure reshape
         x_hw = xc.reshape(B, L, d_inner)
         x_wh = jnp.transpose(xc, (0, 2, 1, 3)).reshape(B, L, d_inner)
-        xs = jnp.stack([x_hw, x_wh, jnp.flip(x_hw, 1), jnp.flip(x_wh, 1)], axis=1)
+        xs = jnp.stack([x_hw, x_wh, jnp.flip(x_hw, 1), jnp.flip(x_wh, 1)], axis=2)
 
         # per-direction projections
         x_proj_weight = self.param(
             "x_proj_weight", nn.initializers.normal(0.02),
             (K, dt_rank + 2 * N, d_inner))
-        x_dbl = jnp.einsum("bkld,kcd->bklc", xs, x_proj_weight)
+        x_dbl = jnp.einsum("blkd,kcd->blkc", xs, x_proj_weight)
         dts, Bs, Cs = jnp.split(x_dbl, [dt_rank, dt_rank + N], axis=-1)
 
         dt_std = dt_rank ** -0.5
@@ -94,35 +95,28 @@ class SS2D(nn.Module):
         dt_projs_weight = dt_projs_weight - dt_std
         dt_projs_bias = self.param("dt_projs_bias", dt_bias_init(), (K, d_inner))
 
-        dts = jnp.einsum("bklr,kdr->bkld", dts, dt_projs_weight)
+        dts = jnp.einsum("blkr,kdr->blkd", dts, dt_projs_weight)
 
         A_logs = self.param("A_logs", a_log_init(N), (K * d_inner, N))
         Ds = self.param("Ds", nn.initializers.ones, (K * d_inner,))
-
-        # selective scan over (B, K*D, L) with grouped B/C
-        u = jnp.transpose(xs, (0, 1, 3, 2)).reshape(B, K * d_inner, L)
-        delta = jnp.transpose(dts, (0, 1, 3, 2)).reshape(B, K * d_inner, L)
-        Bmat = jnp.transpose(Bs, (0, 1, 3, 2))  # (B, K, N, L)
-        Cmat = jnp.transpose(Cs, (0, 1, 3, 2))
         A = -jnp.exp(A_logs.astype(jnp.float32))
 
-        out_y = selective_scan(
-            u, delta, A, Bmat, Cmat, D=Ds,
-            delta_bias=dt_projs_bias.reshape(-1), delta_softplus=True,
-            backend=scan_backend()).reshape(B, K, d_inner, L)
+        out_y = selective_scan_blkd(
+            xs, dts, A, Bs, Cs, D=Ds, delta_bias=dt_projs_bias.reshape(-1),
+            delta_softplus=True, backend=scan_backend())  # (B, L, K, D)
 
         # merge the 4 directions back into row-major order
-        y_hw = out_y[:, 0]
-        y_wh = out_y[:, 1]
-        y_hw_rev = jnp.flip(out_y[:, 2], -1)
-        y_wh_rev = jnp.flip(out_y[:, 3], -1)
+        y_hw = out_y[:, :, 0]
+        y_wh = out_y[:, :, 1]
+        y_hw_rev = jnp.flip(out_y[:, :, 2], 1)
+        y_wh_rev = jnp.flip(out_y[:, :, 3], 1)
 
-        def wh_to_hw(y):  # (B, D, L[wh-order]) -> (B, D, L[hw-order])
-            return jnp.transpose(y.reshape(B, d_inner, W, H),
-                                 (0, 1, 3, 2)).reshape(B, d_inner, L)
+        def wh_to_hw(y):  # (B, L[wh-order], D) -> (B, L[hw-order], D)
+            return jnp.transpose(y.reshape(B, W, H, d_inner),
+                                 (0, 2, 1, 3)).reshape(B, L, d_inner)
 
         y = y_hw + y_hw_rev + wh_to_hw(y_wh) + wh_to_hw(y_wh_rev)
-        y = jnp.transpose(y, (0, 2, 1)).reshape(B, H, W, d_inner)
+        y = y.reshape(B, H, W, d_inner)
         y = nn.LayerNorm(name="out_norm")(y)
         y = y * nn.silu(z)
         out = nn.Dense(self.d_model, use_bias=self.bias, name="out_proj")(y)

@@ -14,7 +14,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..ops.selective_scan import selective_scan
+from ..ops.selective_scan import selective_scan_blkd
 from .ss2d import a_log_init, dt_bias_init, scan_backend
 
 
@@ -55,30 +55,27 @@ class SSND(nn.Module):
         for order in orders:
             perm = (0,) + tuple(o + 1 for o in order) + (dim + 1,)
             seqs.append(jnp.transpose(xc, perm).reshape(B, L, d_inner))
-        fwd = jnp.stack(seqs, 1)                       # (B, dim, L, D)
-        xs = jnp.concatenate([fwd, jnp.flip(fwd, 2)], 1)  # (B, K, L, D)
+        fwd = jnp.stack(seqs, 2)                       # (B, L, dim, D)
+        xs = jnp.concatenate([fwd, jnp.flip(fwd, 1)], 2)  # (B, L, K, D)
 
         x_proj_weight = self.param("x_proj_weight", nn.initializers.normal(0.02),
                                    (K, dt_rank + 2 * N, d_inner))
-        x_dbl = jnp.einsum("bkld,kcd->bklc", xs, x_proj_weight)
+        x_dbl = jnp.einsum("blkd,kcd->blkc", xs, x_proj_weight)
         dts, Bs, Cs = jnp.split(x_dbl, [dt_rank, dt_rank + N], -1)
         dt_std = dt_rank ** -0.5
         dt_w = self.param("dt_projs_weight",
                           nn.initializers.uniform(scale=2 * dt_std),
                           (K, d_inner, dt_rank)) - dt_std
         dt_b = self.param("dt_projs_bias", dt_bias_init(), (K, d_inner))
-        dts = jnp.einsum("bklr,kdr->bkld", dts, dt_w)
+        dts = jnp.einsum("blkr,kdr->blkd", dts, dt_w)
 
         A_logs = self.param("A_logs", a_log_init(N), (K * d_inner, N))
         Ds = self.param("Ds", nn.initializers.ones, (K * d_inner,))
         A = -jnp.exp(A_logs.astype(jnp.float32))
 
-        out_y = selective_scan(
-            jnp.transpose(xs, (0, 1, 3, 2)).reshape(B, K * d_inner, L),
-            jnp.transpose(dts, (0, 1, 3, 2)).reshape(B, K * d_inner, L),
-            A, jnp.transpose(Bs, (0, 1, 3, 2)), jnp.transpose(Cs, (0, 1, 3, 2)),
-            D=Ds, delta_bias=dt_b.reshape(-1), delta_softplus=True,
-            backend=scan_backend()).reshape(B, K, d_inner, L)
+        out_y = selective_scan_blkd(
+            xs, dts, A, Bs, Cs, D=Ds, delta_bias=dt_b.reshape(-1),
+            delta_softplus=True, backend=scan_backend())  # (B, L, K, D)
 
         # merge: un-flip the reversed half, un-permute each order
         y = 0
@@ -87,16 +84,17 @@ class SSND(nn.Module):
             for i, o in enumerate(order):
                 inv[o] = i
             for flip in (False, True):
-                yk = out_y[:, k + (dim if flip else 0)]  # (B, D, L)
+                yk = out_y[:, :, k + (dim if flip else 0)]  # (B, L, D)
                 if flip:
-                    yk = jnp.flip(yk, -1)
+                    yk = jnp.flip(yk, 1)
                 permuted_spatial = tuple(spatial[o] for o in order)
-                yk = yk.reshape(B, d_inner, *permuted_spatial)
-                perm_back = (0, 1) + tuple(2 + inv[i] for i in range(dim))
-                yk = jnp.transpose(yk, perm_back).reshape(B, d_inner, L)
+                yk = yk.reshape(B, *permuted_spatial, d_inner)
+                perm_back = (0,) + tuple(1 + inv[i] for i in range(dim)) + \
+                    (dim + 1,)
+                yk = jnp.transpose(yk, perm_back).reshape(B, L, d_inner)
                 y = y + yk
 
-        y = jnp.transpose(y, (0, 2, 1)).reshape(B, *spatial, d_inner)
+        y = y.reshape(B, *spatial, d_inner)
         y = nn.LayerNorm(name="out_norm")(y)
         y = y * nn.silu(z)
         return nn.Dense(self.d_model, use_bias=False, name="out_proj")(y)

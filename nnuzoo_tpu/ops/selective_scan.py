@@ -155,17 +155,19 @@ def selective_scan_xla(u, delta, A, B, C, D=None, z=None, delta_bias=None,
 
 
 # ===================================================================== Pallas
-# Kernel-level contract (groups folded into the leading axis by the wrapper):
-#   u, delta : (G, L, D)   fp32, L % T == 0, D % 128 == 0
-#   A        : (G, N, D)   fp32 (tiled per group by the wrapper; cheap)
-#   Bmat,Cmat: (G, L, N)   fp32
-#   y        : (G, L, D)
-#   carries  : (G, NL, N, D) chunk-boundary states (input to each chunk), saved
-#              by the forward for backward recomputation.
+# Kernel contract ("K-packed"): the K cross-scan directions live in the CHANNEL
+# (lane) dimension, so small per-direction widths (e.g. SS2D d_inner=32, K=4)
+# still fill the 128-lane VPU. Shapes:
+#   u, delta : (B, L, K*Dh) fp32, L % T == 0    (pure reshape of (B, L, K, Dh))
+#   A        : (N, K*Dh)    fp32
+#   Bmat,Cmat: (B, L, K, N) fp32 (per-direction; expanded across Dh in-kernel)
+#   y        : (B, L, K*Dh)
+#   carries  : (B, NL, N, K*Dh) chunk-entry states saved for the backward.
+# K and Dh are static. K=1 recovers the plain (grouped-by-batch) scan.
 
 def _hillis_steele(a, b):
-    """Inclusive scan over axis 0 of (T, N, D): h_t = a_t*h_{t-1} + b_t with h_-1=0.
-    Returns cumulative (a_cum, b_cum): h_t = a_cum_t * h_init + b_cum_t."""
+    """Inclusive scan over axis 0: h_t = a_t*h_{t-1} + b_t with h_-1 = 0.
+    Returns (a_cum, b_cum): h_t = a_cum_t * h_init + b_cum_t."""
     T = a.shape[0]
     d = 1
     while d < T:
@@ -177,27 +179,47 @@ def _hillis_steele(a, b):
     return a, b
 
 
+def _expand_dirs(M, K: int, Dh: int):
+    """(T, K, N) per-direction coefficients -> (T, N, K*Dh) channel layout."""
+    T = M.shape[0]
+    parts = []
+    for k in range(K):
+        mk = jax.lax.slice_in_dim(M, k, k + 1, axis=1)        # (T, 1, N)
+        mk = jnp.transpose(mk, (0, 2, 1))                      # (T, N, 1)
+        parts.append(jnp.broadcast_to(mk, (T, mk.shape[1], Dh)))
+    return jnp.concatenate(parts, axis=2)                      # (T, N, K*Dh)
+
+
+def _reduce_dirs(M, K: int, Dh: int):
+    """(T, N, K*Dh) -> (T, K, N): sum each direction's Dh lane block."""
+    parts = []
+    for k in range(K):
+        mk = jax.lax.slice_in_dim(M, k * Dh, (k + 1) * Dh, axis=2)
+        parts.append(jnp.sum(mk, axis=2)[:, None, :])          # (T, 1, N)
+    return jnp.concatenate(parts, axis=1)                      # (T, K, N)
+
+
 def _fwd_kernel(u_ref, delta_ref, a_mat_ref, b_ref, c_ref, y_ref, carry_ref,
-                h_scratch):
+                h_scratch, *, K: int, Dh: int):
     l_idx = pl.program_id(1)
 
     @pl.when(l_idx == 0)
     def _init():
         h_scratch[...] = jnp.zeros_like(h_scratch)
 
-    u = u_ref[0]          # (T, D)
-    delta = delta_ref[0]  # (T, D)
-    A = a_mat_ref[0]      # (N, D)
-    Bm = b_ref[0]         # (T, N)
-    Cm = c_ref[0]         # (T, N)
+    u = u_ref[0]          # (T, KD)
+    delta = delta_ref[0]  # (T, KD)
+    A = a_mat_ref[...]    # (N, KD)
+    Bx = _expand_dirs(b_ref[0], K, Dh)   # (T, N, KD)
+    Cx = _expand_dirs(c_ref[0], K, Dh)
 
     carry_ref[0, 0] = h_scratch[...]  # state entering this chunk
 
-    dA = jnp.exp(delta[:, None, :] * A[None, :, :])          # (T, N, D)
-    dBu = (delta * u)[:, None, :] * Bm[:, :, None]            # (T, N, D)
+    dA = jnp.exp(delta[:, None, :] * A[None, :, :])          # (T, N, KD)
+    dBu = (delta * u)[:, None, :] * Bx
     a_cum, b_cum = _hillis_steele(dA, dBu)
-    states = a_cum * h_scratch[...][None] + b_cum             # (T, N, D)
-    y_ref[0] = jnp.sum(states * Cm[:, :, None], axis=1)       # (T, D)
+    states = a_cum * h_scratch[...][None] + b_cum             # (T, N, KD)
+    y_ref[0] = jnp.sum(states * Cx, axis=1)                   # (T, KD)
     T = states.shape[0]
     h_scratch[...] = jnp.squeeze(
         jax.lax.slice_in_dim(states, T - 1, T, axis=0), axis=0)
@@ -205,11 +227,10 @@ def _fwd_kernel(u_ref, delta_ref, a_mat_ref, b_ref, c_ref, y_ref, carry_ref,
 
 def _bwd_kernel(u_ref, delta_ref, a_mat_ref, b_ref, c_ref, dy_ref, carry_ref,
                 du_ref, ddelta_ref, db_ref, dc_ref, da_out_ref,
-                g_scratch, da_scratch):
-    """Processes chunks in REVERSE L order (wrapper flips the chunk index map).
+                g_scratch, da_scratch, *, K: int, Dh: int):
+    """Processes chunks in REVERSE L order (the wrapper flips the index map).
     Recomputes in-chunk states from the saved carry, then the adjoint:
-        g_t = C_t dy_t + a_{t+1} g_{t+1}
-        ddA_t = g_t * h_{t-1};  ddBu_t = g_t
+        g_t = C_t dy_t + dA_{t+1} g_{t+1};  d(dA)_t = g_t h_{t-1};  d(dBu)_t = g_t
     """
     l_idx = pl.program_id(1)
     nl = pl.num_programs(1)
@@ -221,26 +242,23 @@ def _bwd_kernel(u_ref, delta_ref, a_mat_ref, b_ref, c_ref, dy_ref, carry_ref,
 
     u = u_ref[0]
     delta = delta_ref[0]
-    A = a_mat_ref[0]
-    Bm = b_ref[0]
-    Cm = c_ref[0]
+    A = a_mat_ref[...]
+    Bx = _expand_dirs(b_ref[0], K, Dh)
+    Cx = _expand_dirs(c_ref[0], K, Dh)
     dy = dy_ref[0]
-    h_in = carry_ref[0, 0]  # (N, D) state entering this chunk
+    h_in = carry_ref[0, 0]  # (N, KD) state entering this chunk
 
     # recompute forward states for this chunk
     dA = jnp.exp(delta[:, None, :] * A[None, :, :])
-    dBu = (delta * u)[:, None, :] * Bm[:, :, None]
+    dBu = (delta * u)[:, None, :] * Bx
     a_cum, b_cum = _hillis_steele(dA, dBu)
-    states = a_cum * h_in[None] + b_cum                       # h_t, t in chunk
-    h_prev = jnp.concatenate([h_in[None], states[:-1]], axis=0)  # h_{t-1}
+    states = a_cum * h_in[None] + b_cum                       # h_t
+    h_prev = jnp.concatenate([h_in[None], states[:-1]], axis=0)
 
-    # adjoint suffix scan (no flip -- Mosaic lacks `rev`):
-    #   G_t = q_t + dA_{t+1} G_{t+1},  q_t = C_t dy_t,
-    #   carry_in = dA_{chunk_end} * G_{chunk_end} from the later chunk.
-    # Hillis-Steele with shift-UP: alpha_t = dA_{t+1} (fill 1 at t=T-1);
-    # after the scan, Q_t = sum_{s>=t} (prod dA) q_s and alpha_t = prod_{r>t} dA_r,
-    # so G = Q + alpha * carry_in.
-    q = Cm[:, :, None] * dy[:, None, :]                       # (T, N, D)
+    # adjoint suffix scan (shift-UP Hillis-Steele; Mosaic has no `rev`):
+    # alpha_t = dA_{t+1} (fill 1 at t=T-1); after the scan Q_t = sum_{s>=t}
+    # (prod dA) q_s and alpha_t = prod_{r>t} dA_r, so G = Q + alpha * carry_in.
+    q = Cx * dy[:, None, :]                                   # (T, N, KD)
     alpha = jnp.concatenate([dA[1:], jnp.ones_like(dA[:1])], axis=0)
     d = 1
     while d < q.shape[0]:
@@ -249,20 +267,16 @@ def _bwd_kernel(u_ref, delta_ref, a_mat_ref, b_ref, c_ref, dy_ref, carry_ref,
         q = q + alpha * q_sh
         alpha = alpha * alpha_sh
         d *= 2
-    G = q + alpha * g_scratch[...][None]                      # g_t (T, N, D)
-    # carry for the next (earlier) chunk: dA_{first} * g_{first}
+    G = q + alpha * g_scratch[...][None]                      # g_t (T, N, KD)
     first = lambda x: jnp.squeeze(jax.lax.slice_in_dim(x, 0, 1, axis=0), axis=0)
     g_scratch[...] = first(dA) * first(G)
 
-    # gradients
-    gdA = G * h_prev                                          # d/d(dA)
-    # d delta: from dA=exp(delta*A): gdA * dA * A ; from dBu: G * B * u
-    ddelta_ref[0] = (jnp.sum(gdA * dA * A[None], axis=1) +
-                     jnp.sum(G * Bm[:, :, None], axis=1) * u)
-    du_ref[0] = jnp.sum(G * Bm[:, :, None], axis=1) * delta
-    db_ref[0] = jnp.sum(G * (delta * u)[:, None, :], axis=2)  # (T, N)
-    dc_ref[0] = jnp.sum(states * dy[:, None, :], axis=2)      # (T, N)
-    # dA accumulates over chunks; write once at the last grid step
+    gdA = G * h_prev
+    GB = jnp.sum(G * Bx, axis=1)                              # (T, KD)
+    ddelta_ref[0] = jnp.sum(gdA * dA * A[None], axis=1) + GB * u
+    du_ref[0] = GB * delta
+    db_ref[0] = _reduce_dirs(G * (delta * u)[:, None, :], K, Dh)   # (T, K, N)
+    dc_ref[0] = _reduce_dirs(states * dy[:, None, :], K, Dh)
     da_scratch[...] += jnp.sum(gdA * dA * delta[:, None, :], axis=0)
 
     @pl.when(l_idx == nl - 1)
@@ -271,42 +285,46 @@ def _bwd_kernel(u_ref, delta_ref, a_mat_ref, b_ref, c_ref, dy_ref, carry_ref,
 
 
 def _pick_chunk(L: int, dstate: int, dim: int) -> int:
-    """Largest power-of-two chunk with ~6 (T, N, D) fp32 tiles under ~8 MB VMEM.
-    VMEM tiles are lane-padded to 128 internally, so budget with max(dim, 128)."""
+    """Largest power-of-two chunk with ~6 (T, N, KD) fp32 tiles under ~8 MB VMEM,
+    capped at 128: the unrolled in-chunk scan at T=256 blows up the Mosaic
+    compiler (observed helper crashes). Tiles are lane-padded to 128 internally,
+    so budget with max(dim, 128)."""
     budget = 8 * 1024 * 1024
     t = budget // max(1, 6 * dstate * max(dim, 128) * 4)
     t = 2 ** int(math.floor(math.log2(max(t, 8))))
-    return int(max(8, min(t, 512, L)))
+    return int(max(8, min(t, 128, L)))
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(5,))
 def _scan_core_pallas(u, delta, A, Bmat, Cmat, interpret=False):
-    """Kernel contract shapes; returns y (G, L, D). fp32 in/out."""
+    """u/delta (B, L, KD); A (N, KD); Bmat/Cmat (B, L, K, N). Returns y (B, L, KD)."""
     y, _ = _scan_core_pallas_fwd(u, delta, A, Bmat, Cmat, interpret)
     return y
 
 
 def _scan_core_pallas_fwd(u, delta, A, Bmat, Cmat, interpret=False):
-    G, L, dim = u.shape
-    dstate = A.shape[1]
-    T = _pick_chunk(L, dstate, dim)
+    batch, L, KD = u.shape
+    K = Bmat.shape[2]
+    Dh = KD // K
+    dstate = A.shape[0]
+    T = _pick_chunk(L, dstate, KD)
     assert L % T == 0, f"L={L} must be a multiple of chunk {T}"
     nl = L // T
 
-    grid = (G, nl)
-    ud_spec = pl.BlockSpec((1, T, dim), lambda g, l: (g, l, 0))
-    a_spec = pl.BlockSpec((1, dstate, dim), lambda g, l: (g, 0, 0))
-    bc_spec = pl.BlockSpec((1, T, dstate), lambda g, l: (g, l, 0))
-    carry_spec = pl.BlockSpec((1, 1, dstate, dim), lambda g, l: (g, l, 0, 0))
+    grid = (batch, nl)
+    ud_spec = pl.BlockSpec((1, T, KD), lambda b, l: (b, l, 0))
+    a_spec = pl.BlockSpec((dstate, KD), lambda b, l: (0, 0))
+    bc_spec = pl.BlockSpec((1, T, K, dstate), lambda b, l: (b, l, 0, 0))
+    carry_spec = pl.BlockSpec((1, 1, dstate, KD), lambda b, l: (b, l, 0, 0))
 
     y, carries = pl.pallas_call(
-        _fwd_kernel,
+        partial(_fwd_kernel, K=K, Dh=Dh),
         grid=grid,
         in_specs=[ud_spec, ud_spec, a_spec, bc_spec, bc_spec],
         out_specs=(ud_spec, carry_spec),
-        out_shape=(jax.ShapeDtypeStruct((G, L, dim), jnp.float32),
-                   jax.ShapeDtypeStruct((G, nl, dstate, dim), jnp.float32)),
-        scratch_shapes=[pltpu.VMEM((dstate, dim), jnp.float32)],
+        out_shape=(jax.ShapeDtypeStruct((batch, L, KD), jnp.float32),
+                   jax.ShapeDtypeStruct((batch, nl, dstate, KD), jnp.float32)),
+        scratch_shapes=[pltpu.VMEM((dstate, KD), jnp.float32)],
         interpret=interpret,
     )(u, delta, A, Bmat, Cmat)
     return y, (u, delta, A, Bmat, Cmat, carries)
@@ -314,48 +332,108 @@ def _scan_core_pallas_fwd(u, delta, A, Bmat, Cmat, interpret=False):
 
 def _scan_core_pallas_bwd(interpret, residuals, dy):
     u, delta, A, Bmat, Cmat, carries = residuals
-    G, L, dim = u.shape
-    dstate = A.shape[1]
-    T = _pick_chunk(L, dstate, dim)
+    batch, L, KD = u.shape
+    K = Bmat.shape[2]
+    Dh = KD // K
+    dstate = A.shape[0]
+    T = _pick_chunk(L, dstate, KD)
     nl = L // T
 
-    grid = (G, nl)
-    # reverse chunk order via the index map
-    rev = lambda g, l: (g, nl - 1 - l, 0)
-    ud_spec = pl.BlockSpec((1, T, dim), rev)
-    a_spec = pl.BlockSpec((1, dstate, dim), lambda g, l: (g, 0, 0))
-    bc_spec = pl.BlockSpec((1, T, dstate), rev)
-    carry_spec = pl.BlockSpec((1, 1, dstate, dim),
-                              lambda g, l: (g, nl - 1 - l, 0, 0))
-    da_spec = pl.BlockSpec((1, dstate, dim), lambda g, l: (g, 0, 0))
+    grid = (batch, nl)
+    rev = lambda b, l: (b, nl - 1 - l, 0)
+    ud_spec = pl.BlockSpec((1, T, KD), rev)
+    a_spec = pl.BlockSpec((dstate, KD), lambda b, l: (0, 0))
+    bc_spec = pl.BlockSpec((1, T, K, dstate), lambda b, l: (b, nl - 1 - l, 0, 0))
+    carry_spec = pl.BlockSpec((1, 1, dstate, KD),
+                              lambda b, l: (b, nl - 1 - l, 0, 0))
+    da_spec = pl.BlockSpec((1, dstate, KD), lambda b, l: (b, 0, 0))
 
     du, ddelta, dB, dC, dA = pl.pallas_call(
-        _bwd_kernel,
+        partial(_bwd_kernel, K=K, Dh=Dh),
         grid=grid,
         in_specs=[ud_spec, ud_spec, a_spec, bc_spec, bc_spec, ud_spec, carry_spec],
         out_specs=(ud_spec, ud_spec, bc_spec, bc_spec, da_spec),
-        out_shape=(jax.ShapeDtypeStruct((G, L, dim), jnp.float32),
-                   jax.ShapeDtypeStruct((G, L, dim), jnp.float32),
-                   jax.ShapeDtypeStruct((G, L, dstate), jnp.float32),
-                   jax.ShapeDtypeStruct((G, L, dstate), jnp.float32),
-                   jax.ShapeDtypeStruct((G, dstate, dim), jnp.float32)),
-        scratch_shapes=[pltpu.VMEM((dstate, dim), jnp.float32),
-                        pltpu.VMEM((dstate, dim), jnp.float32)],
+        out_shape=(jax.ShapeDtypeStruct((batch, L, KD), jnp.float32),
+                   jax.ShapeDtypeStruct((batch, L, KD), jnp.float32),
+                   jax.ShapeDtypeStruct((batch, L, K, dstate), jnp.float32),
+                   jax.ShapeDtypeStruct((batch, L, K, dstate), jnp.float32),
+                   jax.ShapeDtypeStruct((batch, dstate, KD), jnp.float32)),
+        scratch_shapes=[pltpu.VMEM((dstate, KD), jnp.float32),
+                        pltpu.VMEM((dstate, KD), jnp.float32)],
         interpret=interpret,
     )(u, delta, A, Bmat, Cmat, dy, carries)
-    return du, ddelta, dA, dB, dC
+    # dA per-batch partials -> sum over batch
+    return du, ddelta, jnp.sum(dA, axis=0), dB, dC
 
 
 _scan_core_pallas.defvjp(_scan_core_pallas_fwd, _scan_core_pallas_bwd)
 
 
+def _run_packed_scan(u, delta, A_t, Bmat, Cmat, interpret=False):
+    """Common padding + kernel invocation. u/delta (B, L, K, Dh) fp32 (delta
+    already softplus'ed); A_t (N, K*Dh); Bmat/Cmat (B, L, K, N).
+    Returns y (B, L, K, Dh)."""
+    batch, L, K, Dh = u.shape
+    dstate = A_t.shape[0]
+    u_k = u.reshape(batch, L, K * Dh)
+    delta_k = delta.reshape(batch, L, K * Dh)
+
+    T = _pick_chunk(max(L, 8), dstate, K * Dh)
+    lpad = (-L) % T
+    if lpad:
+        u_k = jnp.pad(u_k, ((0, 0), (0, lpad), (0, 0)))
+        delta_k = jnp.pad(delta_k, ((0, 0), (0, lpad), (0, 0)))
+        Bmat = jnp.pad(Bmat, ((0, 0), (0, lpad), (0, 0), (0, 0)))
+        Cmat = jnp.pad(Cmat, ((0, 0), (0, lpad), (0, 0), (0, 0)))
+    y = _scan_core_pallas(u_k, delta_k, A_t, Bmat, Cmat, interpret)
+    return y[:, :L].reshape(batch, L, K, Dh)
+
+
+def selective_scan_blkd(u, delta, A, Bmat, Cmat, D=None, delta_bias=None,
+                        delta_softplus=True, backend: Optional[str] = None,
+                        interpret: bool = False):
+    """Layout-optimized entry for cross-scan modules.
+
+    u/delta (B, L, K, Dh); A (K*Dh, N) (row k*Dh+d); Bmat/Cmat (B, L, K, N);
+    D/delta_bias (K*Dh,). Returns y (B, L, K, Dh). The K directions are packed
+    into the lane dimension so small Dh still fills the VPU, and the big
+    activations reach the kernel via pure reshape (no relayout)."""
+    batch, L, K, Dh = u.shape
+    dstate = A.shape[1]
+    if backend is None:
+        platform = jax.devices()[0].platform
+        backend = "pallas" if platform == "tpu" else "xla"
+
+    u32 = u.astype(jnp.float32)
+    delta32 = delta.astype(jnp.float32)
+    if delta_bias is not None:
+        delta32 = delta32 + delta_bias.astype(jnp.float32).reshape(1, 1, K, Dh)
+    if delta_softplus:
+        delta32 = jax.nn.softplus(delta32)
+
+    if backend == "pallas":
+        A_t = jnp.transpose(A.astype(jnp.float32), (1, 0))  # (N, K*Dh)
+        y = _run_packed_scan(u32, delta32, A_t, Bmat.astype(jnp.float32),
+                             Cmat.astype(jnp.float32), interpret)
+    else:
+        # mamba-convention fallback (CPU tests / explicit override)
+        u_c = jnp.transpose(u32, (0, 2, 3, 1)).reshape(batch, K * Dh, L)
+        d_c = jnp.transpose(delta32, (0, 2, 3, 1)).reshape(batch, K * Dh, L)
+        y_c = selective_scan_xla(u_c, d_c, A,
+                                 jnp.transpose(Bmat, (0, 2, 3, 1)),
+                                 jnp.transpose(Cmat, (0, 2, 3, 1)),
+                                 delta_softplus=False)
+        y = jnp.transpose(y_c.reshape(batch, K, Dh, L), (0, 3, 1, 2))
+    if D is not None:
+        y = y + u32 * D.astype(jnp.float32).reshape(1, 1, K, Dh)
+    return y
+
+
 def selective_scan_pallas(u, delta, A, B, C, D=None, z=None, delta_bias=None,
                           delta_softplus=False, return_last_state=False,
                           interpret: bool = False):
-    """Mamba-convention wrapper around the Pallas core. Groups are folded into the
-    leading axis; D (the channel dim) is padded to a multiple of 128 lanes; L is
-    padded to the chunk size (padded steps have delta=0 => exp(0*A)=1, B*u=0: the
-    state passes through unchanged and padded y is discarded)."""
+    """Mamba-convention wrapper (u/delta (batch, dim, L), grouped or plain B/C)
+    around the packed kernel."""
     assert not return_last_state, "return_last_state unsupported on the pallas path"
     dtype_in = u.dtype
     batch, dim, L = u.shape
@@ -363,50 +441,24 @@ def selective_scan_pallas(u, delta, A, B, C, D=None, z=None, delta_bias=None,
 
     u32 = u.astype(jnp.float32)
     delta32 = _apply_delta_bias(delta, delta_bias, delta_softplus)
-    A32 = A.astype(jnp.float32)
 
-    # fold groups into the leading axis
     if B.ndim == 4:
-        ngroups = B.shape[1]
+        K = B.shape[1]
     else:
-        ngroups = 1
+        K = 1
         B = B[:, None]
         C = C[:, None]
-    gdim = dim // ngroups
-    G = batch * ngroups
+    Dh = dim // K
 
-    def fold_u(x):  # (batch, dim, L) -> (G, L, gdim)
-        x = x.reshape(batch, ngroups, gdim, L)
-        return jnp.transpose(x, (0, 1, 3, 2)).reshape(G, L, gdim)
+    # (batch, dim=K*Dh, L) -> (batch, L, K, Dh)
+    u_p = jnp.transpose(u32.reshape(batch, K, Dh, L), (0, 3, 1, 2))
+    d_p = jnp.transpose(delta32.reshape(batch, K, Dh, L), (0, 3, 1, 2))
+    B_p = jnp.transpose(B.astype(jnp.float32), (0, 3, 1, 2))  # (batch, L, K, N)
+    C_p = jnp.transpose(C.astype(jnp.float32), (0, 3, 1, 2))
+    A_t = jnp.transpose(A.astype(jnp.float32), (1, 0))        # (N, K*Dh)
 
-    u_k = fold_u(u32)
-    delta_k = fold_u(delta32)
-    A_k = jnp.transpose(A32.reshape(ngroups, gdim, dstate), (0, 2, 1))  # (ng, N, gdim)
-    A_k = jnp.broadcast_to(A_k[None], (batch, ngroups, dstate, gdim)).reshape(
-        G, dstate, gdim)
-    B_k = jnp.transpose(B.astype(jnp.float32), (0, 1, 3, 2)).reshape(G, L, dstate)
-    C_k = jnp.transpose(C.astype(jnp.float32), (0, 1, 3, 2)).reshape(G, L, dstate)
-
-    # Mosaic pads tiles to the 128-lane boundary internally; no host-side channel
-    # padding needed (it would materialize huge padded copies in HBM). Only pad
-    # very small channel dims up to the fp32 sublane multiple.
-    dpad = (-gdim) % 8 if gdim < 8 else 0
-    if dpad:
-        u_k = jnp.pad(u_k, ((0, 0), (0, 0), (0, dpad)))
-        delta_k = jnp.pad(delta_k, ((0, 0), (0, 0), (0, dpad)))
-        A_k = jnp.pad(A_k, ((0, 0), (0, 0), (0, dpad)))
-    T = _pick_chunk(max(L, 8), dstate, gdim + dpad)
-    lpad = (-L) % T
-    if lpad:
-        u_k = jnp.pad(u_k, ((0, 0), (0, lpad), (0, 0)))
-        delta_k = jnp.pad(delta_k, ((0, 0), (0, lpad), (0, 0)))
-        B_k = jnp.pad(B_k, ((0, 0), (0, lpad), (0, 0)))
-        C_k = jnp.pad(C_k, ((0, 0), (0, lpad), (0, 0)))
-
-    y_k = _scan_core_pallas(u_k, delta_k, A_k, B_k, C_k, interpret)
-
-    y = y_k[:, :L, :gdim].reshape(batch, ngroups, L, gdim)
-    y = jnp.transpose(y, (0, 1, 3, 2)).reshape(batch, dim, L)
+    y_p = _run_packed_scan(u_p, d_p, A_t, B_p, C_p, interpret)
+    y = jnp.transpose(y_p, (0, 2, 3, 1)).reshape(batch, dim, L)
     return _finalize(y, u32, D, z, dtype_in)
 
 

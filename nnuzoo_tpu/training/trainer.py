@@ -187,6 +187,7 @@ class Trainer:
                 regions = regions + [(self.label_manager.ignore_label,)]
             regions = tuple(regions)
         patch_size = tuple(int(i) for i in self.configuration_manager.patch_size)
+        is_cascaded = self.configuration_manager.previous_stage_name is not None
         common = dict(
             patch_size=patch_size,
             mirror_axes=tuple(mirror_axes),
@@ -196,6 +197,10 @@ class Trainer:
             deep_supervision_scales=ds_scales,
             regions=regions,
             rotation=float(rotation),
+            is_cascaded=is_cascaded,
+            foreground_labels=tuple(int(l) for l in
+                                    self.label_manager.foreground_labels)
+            if is_cascaded else (),
         )
         train_cfg = AugmentConfig(initial_patch_size=initial_patch_size, **common)
         val_cfg = AugmentConfig(initial_patch_size=patch_size, **common)
@@ -370,8 +375,17 @@ class Trainer:
     # ----------------------------------------------------------------- data
     def get_dataloaders(self):
         tr_keys, val_keys = self.do_split()
-        ds_tr = DatasetNumpy(self.preprocessed_dataset_folder, tr_keys)
-        ds_val = DatasetNumpy(self.preprocessed_dataset_folder, val_keys)
+        prev_stage_folder = None
+        if self.configuration_manager.previous_stage_name is not None:
+            # the previous stage wrote its predictions under OUR config name
+            # (reference: predicted_next_stage/<next_stage_name>)
+            prev_stage_folder = join(
+                self.preprocessed_dataset_folder_base,
+                "predicted_next_stage", self.configuration_name)
+        ds_tr = DatasetNumpy(self.preprocessed_dataset_folder, tr_keys,
+                             folder_with_segs_from_previous_stage=prev_stage_folder)
+        ds_val = DatasetNumpy(self.preprocessed_dataset_folder, val_keys,
+                              folder_with_segs_from_previous_stage=prev_stage_folder)
         dim = len(self.configuration_manager.patch_size)
 
         train_sampler = PatchSampler(
@@ -421,6 +435,25 @@ class Trainer:
     def run_training(self):
         self.on_train_start()
         cfg = self.config
+        profile_dir = os.environ.get("NNUZOO_PROFILE_DIR")
+        if profile_dir and self.current_epoch == 0:
+            # profile the first epoch (ad-hoc tracing; the reference only has
+            # print-based timing spans)
+            with jax.profiler.trace(profile_dir):
+                t0 = time.time()
+                self.logger.log("epoch_start_timestamps", t0, 0)
+                train_loss = self.train_epoch()
+                val_loss, dice = self.validation_epoch()
+                self.logger.log("train_losses", train_loss, 0)
+                self.logger.log("val_losses", val_loss, 0)
+                self.logger.log("mean_fg_dice", float(np.nanmean(dice)), 0)
+                self.logger.log("dice_per_class_or_region",
+                                [float(d) for d in dice], 0)
+                self.logger.log("lrs", float(self._epoch_schedule(0)), 0)
+                self.logger.log("epoch_end_timestamps", time.time(), 0)
+                self.on_epoch_end()
+                self.current_epoch += 1
+            self.print_to_log_file(f"Profile written to {profile_dir}")
         try:
             while self.current_epoch < cfg.num_epochs:
                 epoch = self.current_epoch
@@ -534,6 +567,31 @@ class Trainer:
                 logits, properties, self.configuration_manager, self.plans_manager,
                 self.dataset_json, join(validation_output_folder, k),
                 save_probabilities)
+
+        # cascade: export resampled predictions as next-stage inputs
+        # (reference `nnUNetTrainer.py:1449-1481`)
+        next_stages = self.configuration_manager.next_stage_names
+        if next_stages:
+            from ..inference.export import resample_and_save
+            for next_stage in next_stages:
+                next_cfg = self.plans_manager.get_configuration(next_stage)
+                target_dir = join(self.preprocessed_dataset_folder_base,
+                                  "predicted_next_stage", next_stage)
+                maybe_mkdir(target_dir)
+                ds_next = DatasetNumpy(
+                    join(self.preprocessed_dataset_folder_base,
+                         next_cfg.data_identifier))
+                for k in val_keys:
+                    if k not in ds_next.identifiers:
+                        continue
+                    data, seg, _, props = dataset_val.load_case(k)
+                    logits = predictor.predict_sliding_window_return_logits(
+                        np.asarray(data, dtype=np.float32))
+                    target_shape = ds_next.load_case(k)[0].shape[1:]
+                    resample_and_save(logits, target_shape,
+                                      join(target_dir, k), self.plans_manager,
+                                      self.configuration_manager, props,
+                                      self.dataset_json)
 
         gt_folder = join(self.preprocessed_dataset_folder_base, "gt_segmentations")
         lm = self.label_manager
