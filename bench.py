@@ -109,7 +109,7 @@ def main():
             break
         except Exception as e:
             print(f"# bench attempt {trainer_name} {patch} b{batch} failed: "
-                  f"{type(e).__name__}", file=sys.stderr)
+                  f"{type(e).__name__}: {str(e)[:300]}", file=sys.stderr)
     if result is None:
         # last resort: PlainConvUNet
         from nnuzoo_tpu.models.registry import get_model_builder
