@@ -304,14 +304,27 @@ class Trainer:
         val_cfg = self.val_aug_cfg
         tx = self.tx
 
+        use_bf16 = self.config.use_bf16 or \
+            os.environ.get("NNUZOO_BF16", "") == "1"
+
         def to_cl(x):  # (B, C, *spatial) -> channels-last
-            return jnp.moveaxis(x, 1, -1)
+            x = jnp.moveaxis(x, 1, -1)
+            return x.astype(jnp.bfloat16) if use_bf16 else x
+
+        def cast_params(params):
+            if not use_bf16:
+                return params
+            return jax.tree.map(
+                lambda p: p.astype(jnp.bfloat16)
+                if p.dtype == jnp.float32 else p, params)
 
         def train_step(state, data, seg, key):
             data_aug, targets = augment_train_batch(train_cfg, key, data, seg)
 
             def loss_fn(params):
-                outputs = model.apply(params, to_cl(data_aug), train=True)
+                outputs = model.apply(cast_params(params), to_cl(data_aug),
+                                      train=True)
+                outputs = [o.astype(jnp.float32) for o in outputs]
                 return self._compute_loss(outputs, targets)
 
             loss, grads = jax.value_and_grad(loss_fn)(state["params"])
@@ -322,7 +335,8 @@ class Trainer:
 
         def val_step(params, data, seg):
             data_p, targets = prepare_val_batch(val_cfg, data, seg)
-            outputs = model.apply(params, to_cl(data_p), train=False)
+            outputs = model.apply(cast_params(params), to_cl(data_p), train=False)
+            outputs = [o.astype(jnp.float32) for o in outputs]
             loss = self._compute_loss(outputs, targets)
             logits_cf = jnp.moveaxis(outputs[0], -1, 1)
             target0 = targets[0]

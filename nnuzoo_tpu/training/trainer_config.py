@@ -37,6 +37,11 @@ class TrainerConfig:
     grad_clip_norm: float = 12.0
     save_every: int = 1
     data_fraction: float = 1.0     # nnUNetTrainer_XXPercent variants
+    # mixed precision: cast params+activations to bf16 in the forward/backward
+    # (losses, normalization stats and the selective-scan state stay fp32) --
+    # the TPU analogue of the reference's AMP GradScaler path (no scaler needed:
+    # bf16 has fp32's exponent range)
+    use_bf16: bool = False
 
 
 _ZOO = TrainerConfig(num_epochs=250, initial_lr=1e-4, weight_decay=5e-2,
