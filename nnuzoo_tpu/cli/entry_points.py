@@ -304,3 +304,30 @@ def plot_overlay_entry(argv=None):
     a = p.parse_args(argv)
     from ..utilities.overlay_plots import generate_overlays_for_dataset
     generate_overlays_for_dataset(a.d, a.o, a.channel_idx, a.np)
+
+
+def predict_from_modelfolder_entry(argv=None):
+    p = argparse.ArgumentParser("nnUNetv2_predict_from_modelfolder")
+    p.add_argument("-i", required=True)
+    p.add_argument("-o", required=True)
+    p.add_argument("-m", required=True, help="trained model folder")
+    p.add_argument("-f", nargs="+", default=None)
+    p.add_argument("-step_size", type=float, default=0.5)
+    p.add_argument("-chk", default="checkpoint_final.pth")
+    p.add_argument("--disable_tta", action="store_true")
+    p.add_argument("--save_probabilities", action="store_true")
+    p.add_argument("--continue_prediction", action="store_true")
+    p.add_argument("-num_parts", type=int, default=1)
+    p.add_argument("-part_id", type=int, default=0)
+    p.add_argument("-prev_stage_predictions", default=None)
+    p.add_argument("--verbose", action="store_true")
+    a = p.parse_args(argv)
+    from ..inference.predictor import Predictor
+    predictor = Predictor(tile_step_size=a.step_size, use_gaussian=True,
+                          use_mirroring=not a.disable_tta, verbose=a.verbose)
+    predictor.initialize_from_trained_model_folder(a.m, a.f, a.chk)
+    predictor.predict_from_files(a.i, a.o, save_probabilities=a.save_probabilities,
+                                 overwrite=not a.continue_prediction,
+                                 num_parts=a.num_parts, part_id=a.part_id,
+                                 folder_with_segs_from_prev_stage=
+                                 a.prev_stage_predictions)
