@@ -170,3 +170,118 @@ class SwinBlock(nn.Module):
         x = x + MLP(int(C * self.mlp_ratio), C, name="mlp")(
             nn.LayerNorm(name="norm2")(x), train=train)
         return x
+
+
+def window_partition_nd(x, window: Tuple[int, ...]):
+    """(B, *spatial, C) -> (B*nW, prod(window), C) for 2D or 3D windows."""
+    B = x.shape[0]
+    spatial = x.shape[1:-1]
+    C = x.shape[-1]
+    dims = len(spatial)
+    shape = [B]
+    for s, w in zip(spatial, window):
+        shape += [s // w, w]
+    x = x.reshape(*shape, C)
+    perm = [0] + [1 + 2 * i for i in range(dims)] + \
+        [2 + 2 * i for i in range(dims)] + [1 + 2 * dims]
+    x = jnp.transpose(x, perm)
+    return x.reshape(-1, int(np.prod(window)), C)
+
+
+def window_reverse_nd(wins, window: Tuple[int, ...], spatial: Tuple[int, ...]):
+    dims = len(spatial)
+    nw = [s // w for s, w in zip(spatial, window)]
+    B = wins.shape[0] // int(np.prod(nw))
+    x = wins.reshape(B, *nw, *window, -1)
+    perm = [0]
+    for i in range(dims):
+        perm += [1 + i, 1 + dims + i]
+    perm += [1 + 2 * dims]
+    x = jnp.transpose(x, perm)
+    return x.reshape(B, *spatial, x.shape[-1])
+
+
+class WindowAttentionND(nn.Module):
+    """Windowed MHSA with N-D relative position bias (3D Swin for SwinUNETR)."""
+    window: Tuple[int, ...]
+    num_heads: int
+    qkv_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x, mask: Optional[jnp.ndarray] = None):
+        Bn, L, C = x.shape
+        head_dim = C // self.num_heads
+        w = self.window
+        dims = len(w)
+
+        table_size = int(np.prod([2 * wi - 1 for wi in w]))
+        rel_bias_table = self.param(
+            "relative_position_bias_table",
+            nn.initializers.truncated_normal(0.02),
+            (table_size, self.num_heads))
+        coords = np.stack(np.meshgrid(*[np.arange(wi) for wi in w],
+                                      indexing="ij")).reshape(dims, -1)
+        rel = coords[:, :, None] - coords[:, None, :]
+        rel = rel.transpose(1, 2, 0)
+        for i in range(dims):
+            rel[..., i] += w[i] - 1
+        index = np.zeros(rel.shape[:2], dtype=np.int64)
+        stride = 1
+        for i in range(dims - 1, -1, -1):
+            index += rel[..., i] * stride
+            stride *= 2 * w[i] - 1
+
+        qkv = nn.Dense(3 * C, use_bias=self.qkv_bias, name="qkv")(x)
+        q, k, v = jnp.split(qkv.reshape(Bn, L, 3, self.num_heads, head_dim)
+                            .transpose(2, 0, 3, 1, 4), 3, axis=0)
+        q, k, v = q[0], k[0], v[0]
+        attn = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                          preferred_element_type=jnp.float32) * head_dim ** -0.5
+        bias = rel_bias_table[jnp.asarray(index.reshape(-1))].reshape(
+            L, L, self.num_heads).transpose(2, 0, 1)
+        attn = attn + bias[None]
+        if mask is not None:
+            nW = mask.shape[0]
+            attn = attn.reshape(Bn // nW, nW, self.num_heads, L, L) + \
+                mask[None, :, None]
+            attn = attn.reshape(Bn, self.num_heads, L, L)
+        attn = jax.nn.softmax(attn, axis=-1)
+        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+        return nn.Dense(C, name="proj")(out.transpose(0, 2, 1, 3)
+                                        .reshape(Bn, L, C))
+
+
+class SwinBlockND(nn.Module):
+    """N-D (shifted-)window transformer block. Shifted-window masks are
+    restricted to the 2D case; 3D uses plain windows (shift=0) for now."""
+    num_heads: int
+    window: int = 7
+    shift: int = 0
+    mlp_ratio: float = 4.0
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        B = x.shape[0]
+        spatial = x.shape[1:-1]
+        C = x.shape[-1]
+        dims = len(spatial)
+        if dims == 2:
+            return SwinBlock(self.num_heads, self.window, self.shift,
+                             self.mlp_ratio, name="block2d")(x, train=train)
+        window = tuple(min(self.window, s) for s in spatial)
+        pads = [(-s) % w for s, w in zip(spatial, window)]
+
+        shortcut = x
+        h = nn.LayerNorm(name="norm1")(x)
+        if any(pads):
+            h = jnp.pad(h, [(0, 0)] + [(0, p) for p in pads] + [(0, 0)])
+        padded_spatial = tuple(s + p for s, p in zip(spatial, pads))
+        wins = window_partition_nd(h, window)
+        wins = WindowAttentionND(window, self.num_heads, name="attn")(wins)
+        h = window_reverse_nd(wins, window, padded_spatial)
+        if any(pads):
+            h = h[tuple([slice(None)] + [slice(0, s) for s in spatial])]
+        x = shortcut + h
+        x = x + MLP(int(C * self.mlp_ratio), C, name="mlp")(
+            nn.LayerNorm(name="norm2")(x), train=train)
+        return x

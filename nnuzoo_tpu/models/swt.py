@@ -71,8 +71,26 @@ class SwinTransformerUnet(nn.Module):
         return [logits.astype(jnp.float32)]
 
 
+class SwinStageND(nn.Module):
+    dim: int
+    depth: int
+    num_heads: int
+    window: int = 7
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        from .attention import SwinBlockND
+        for i in range(self.depth):
+            x = SwinBlockND(self.num_heads, self.window,
+                            shift=0 if i % 2 == 0 else self.window // 2,
+                            name=f"block{i}")(x, train=train)
+        return x
+
+
 class SwinUNETR(nn.Module):
+    """2D and 3D (monai SwinUNETR parity; 3D uses window 7^dim attention)."""
     num_classes: int
+    spatial_dims: int = 2
     feature_size: int = 48
     depths: Sequence[int] = (2, 2, 2, 2)
     num_heads: Sequence[int] = (3, 6, 12, 24)
@@ -81,29 +99,33 @@ class SwinUNETR(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = True):
+        from .x2net import PatchMergingND
+        sd = self.spatial_dims
         f = self.feature_size
         dims = [f * 2 ** i for i in range(4)]
-        h = PatchEmbed2D(2, f, name="patch_embed")(x)  # /2
+        h = nn.Conv(f, (2,) * sd, strides=(2,) * sd, name="patch_embed_conv")(x)
+        h = nn.LayerNorm(name="patch_embed_norm")(h)
 
         swin_feats = []
         for i, depth in enumerate(self.depths):
-            h = SwinStage(dims[i], depth, self.num_heads[i], self.window,
-                          name=f"swin{i}")(h, train=train)
+            h = SwinStageND(dims[i], depth, self.num_heads[i], self.window,
+                            name=f"swin{i}")(h, train=train)
             swin_feats.append(h)
             if i < len(self.depths) - 1:
-                h = PatchMerging2D(dims[i], 2, dims[i + 1], name=f"down{i}")(h)
+                h = PatchMergingND(dims[i], (2,) * sd, dims[i + 1],
+                                   name=f"down{i}")(h)
 
-        enc0 = UnetrBasicBlock(f, 2, name="encoder0")(x)              # /1
-        enc1 = UnetrBasicBlock(f, 2, name="encoder1")(swin_feats[0])  # /2
-        enc2 = UnetrBasicBlock(2 * f, 2, name="encoder2")(swin_feats[1])
-        enc3 = UnetrBasicBlock(4 * f, 2, name="encoder3")(swin_feats[2])
-        bottleneck = UnetrBasicBlock(8 * f, 2, name="encoder4")(swin_feats[3])
+        enc0 = UnetrBasicBlock(f, sd, name="encoder0")(x)              # /1
+        enc1 = UnetrBasicBlock(f, sd, name="encoder1")(swin_feats[0])  # /2
+        enc2 = UnetrBasicBlock(2 * f, sd, name="encoder2")(swin_feats[1])
+        enc3 = UnetrBasicBlock(4 * f, sd, name="encoder3")(swin_feats[2])
+        bottleneck = UnetrBasicBlock(8 * f, sd, name="encoder4")(swin_feats[3])
 
-        d = UnetrUpBlock(4 * f, 2, name="decoder4")(bottleneck, enc3)
-        d = UnetrUpBlock(2 * f, 2, name="decoder3")(d, enc2)
-        d = UnetrUpBlock(f, 2, name="decoder2")(d, enc1)
-        d = UnetrUpBlock(f, 2, name="decoder1")(d, enc0)
-        logits = nn.Conv(self.num_classes, (1, 1), name="out")(d)
+        d = UnetrUpBlock(4 * f, sd, name="decoder4")(bottleneck, enc3)
+        d = UnetrUpBlock(2 * f, sd, name="decoder3")(d, enc2)
+        d = UnetrUpBlock(f, sd, name="decoder2")(d, enc1)
+        d = UnetrUpBlock(f, sd, name="decoder1")(d, enc0)
+        logits = nn.Conv(self.num_classes, (1,) * sd, name="out")(d)
         return [logits.astype(jnp.float32)]
 
 
@@ -118,9 +140,9 @@ def get_swin_unetr_from_plans(plans_manager, dataset_json, configuration_manager
                               num_input_channels, deep_supervision=False,
                               dtype=None):
     label_manager = plans_manager.get_label_manager(dataset_json)
-    assert len(configuration_manager.patch_size) == 2, \
-        "SwinUNETR currently 2D (3D windows: later round)"
-    return SwinUNETR(num_classes=label_manager.num_segmentation_heads)
+    dim = len(configuration_manager.patch_size)
+    return SwinUNETR(num_classes=label_manager.num_segmentation_heads,
+                     spatial_dims=dim)
 
 
 register_model("nnUNetTrainerSwinTransformerUnet", get_swt_from_plans)

@@ -145,3 +145,30 @@ class TestModels:
                      "nnUNetTrainerSwinUMambaD", "nnUNetTrainerLightMUNet",
                      "nnUNetTrainerLightSS2DMambaUNet", "nnUNetTrainerSegMamba"):
             assert get_model_builder(name) is not None
+
+
+class TestSwin3D:
+    def test_window_partition_nd_roundtrip(self, rng):
+        from nnuzoo_tpu.models.attention import (window_partition_nd,
+                                                 window_reverse_nd)
+        x = jnp.asarray(rng.rand(2, 8, 8, 4, 6).astype(np.float32))
+        wins = window_partition_nd(x, (4, 4, 2))
+        assert wins.shape == (2 * 2 * 2 * 2, 32, 6)
+        back = window_reverse_nd(wins, (4, 4, 2), (8, 8, 4))
+        assert np.allclose(np.asarray(back), np.asarray(x))
+
+    def test_swin_block_3d(self, rng):
+        from nnuzoo_tpu.models.attention import SwinBlockND
+        x = jnp.asarray(rng.rand(1, 6, 6, 6, 8).astype(np.float32))
+        m = SwinBlockND(num_heads=2, window=4)
+        y = m.apply(m.init(jax.random.PRNGKey(0), x), x)
+        assert y.shape == x.shape
+        assert np.isfinite(np.asarray(y)).all()
+
+    def test_swin_unetr_3d(self, rng):
+        from nnuzoo_tpu.models.swt import SwinUNETR
+        m = SwinUNETR(num_classes=2, spatial_dims=3, feature_size=4,
+                      depths=(1, 1, 1, 1), num_heads=(1, 2, 2, 2), window=4)
+        x = jnp.asarray(rng.rand(1, 32, 32, 32, 1).astype(np.float32))
+        outs = _run(m, x)
+        assert outs[0].shape == (1, 32, 32, 32, 2)
