@@ -92,6 +92,10 @@ class AugmentConfig:
     # channels is morphological (not jit-expressible); omitted for now.
     is_cascaded: bool = False
     foreground_labels: Tuple[int, ...] = ()
+    # 'segmentation' (int labels, nearest sampling, -1 fill + RemoveLabel) or
+    # 'translation' (float regression target: linear sampling, 0 fill, no label
+    # transforms, linear DS downsampling)
+    target_type: str = "segmentation"
 
     @property
     def dim(self):
@@ -178,9 +182,11 @@ def _spatial_transform(cfg: AugmentConfig, key, data, seg):
                          order=1, fill=0.0)
     seg_out = None
     if seg is not None:
+        is_translation = cfg.target_type == "translation"
         seg_out = _affine_sample(seg.astype(jnp.float32), matrix,
                                  cfg.initial_patch_size, cfg.patch_size,
-                                 order=0, fill=-1.0)
+                                 order=1 if is_translation else 0,
+                                 fill=0.0 if is_translation else -1.0)
     return out, seg_out
 
 
@@ -363,10 +369,13 @@ def convert_seg_to_regions(seg, regions, ignore_label):
 
 
 def make_seg_targets(cfg: AugmentConfig, seg):
-    """RemoveLabel(-1->0), region conversion, deep-supervision downsampling."""
-    seg = jnp.where(seg == -1, 0, seg)
-    if cfg.regions is not None:
-        seg = convert_seg_to_regions(seg, cfg.regions, None)
+    """RemoveLabel(-1->0), region conversion, deep-supervision downsampling.
+    Translation targets skip the label transforms and downsample linearly."""
+    is_translation = cfg.target_type == "translation"
+    if not is_translation:
+        seg = jnp.where(seg == -1, 0, seg)
+        if cfg.regions is not None:
+            seg = convert_seg_to_regions(seg, cfg.regions, None)
     if cfg.deep_supervision_scales is None:
         return [seg]
     targets = []
@@ -375,7 +384,11 @@ def make_seg_targets(cfg: AugmentConfig, seg):
             targets.append(seg)
         else:
             out_shape = [int(round(n * s)) for n, s in zip(cfg.patch_size, scale)]
-            targets.append(_nearest_downsample(seg, out_shape))
+            if is_translation:
+                targets.append(jax.image.resize(
+                    seg, (seg.shape[0], *out_shape), method="linear"))
+            else:
+                targets.append(_nearest_downsample(seg, out_shape))
     return targets
 
 

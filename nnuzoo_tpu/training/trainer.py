@@ -76,6 +76,7 @@ class Trainer:
         self.fold = fold
         self.dataset_json = dataset_json
         self.label_manager = self.plans_manager.get_label_manager(dataset_json)
+        self.target_type = dataset_json.get("target_type", "segmentation")
         self.unpack_dataset_flag = unpack_dataset_flag
 
         self.preprocessed_dataset_folder_base = join(
@@ -201,6 +202,7 @@ class Trainer:
             foreground_labels=tuple(int(l) for l in
                                     self.label_manager.foreground_labels)
             if is_cascaded else (),
+            target_type=self.target_type,
         )
         train_cfg = AugmentConfig(initial_patch_size=initial_patch_size, **common)
         val_cfg = AugmentConfig(initial_patch_size=patch_size, **common)
@@ -285,7 +287,9 @@ class Trainer:
         def to_cf(o):  # channels-last -> channels-first for the loss fns
             return jnp.moveaxis(o, -1, 1)
 
-        if has_regions:
+        if self.target_type == "translation":
+            fn = lambda o, t: jnp.mean((to_cf(o) - t.astype(jnp.float32)) ** 2)
+        elif has_regions:
             fn = lambda o, t: dice_bce_loss(
                 to_cf(o), t, batch_dice=batch_dice,
                 use_ignore_label=ignore_label is not None)
@@ -338,6 +342,9 @@ class Trainer:
             outputs = model.apply(cast_params(params), to_cl(data_p), train=False)
             outputs = [o.astype(jnp.float32) for o in outputs]
             loss = self._compute_loss(outputs, targets)
+            if self.target_type == "translation":
+                zero = jnp.zeros((1,))
+                return loss, zero, zero, zero
             logits_cf = jnp.moveaxis(outputs[0], -1, 1)
             target0 = targets[0]
             lm = self.label_manager
@@ -407,13 +414,15 @@ class Trainer:
             initial_patch_size=self.train_aug_cfg.initial_patch_size[-dim:],
             final_patch_size=self.train_aug_cfg.initial_patch_size[-dim:],
             label_manager=self.label_manager,
-            oversample_foreground_percent=self.config.oversample_foreground_percent)
+            oversample_foreground_percent=self.config.oversample_foreground_percent,
+            target_type=self.target_type)
         val_sampler = PatchSampler(
             ds_val, self.configuration_manager.batch_size,
             initial_patch_size=self.configuration_manager.patch_size,
             final_patch_size=self.configuration_manager.patch_size,
             label_manager=self.label_manager,
-            oversample_foreground_percent=self.config.oversample_foreground_percent)
+            oversample_foreground_percent=self.config.oversample_foreground_percent,
+            target_type=self.target_type)
 
         sharding = shard_batch_spec(self.mesh)
         self.dataloader_train = DevicePrefetcher(train_sampler, buffer_size=2,
@@ -442,6 +451,9 @@ class Trainer:
             tps.append(np.asarray(tp))
             fps.append(np.asarray(fp))
             fns.append(np.asarray(fn))
+        if self.target_type == "translation":
+            # no dice for regression; track -val_loss so EMA 'best' still works
+            return float(np.mean(losses)), np.array([-float(np.mean(losses))])
         tp, fp, fn = np.sum(tps, 0), np.sum(fps, 0), np.sum(fns, 0)
         global_dc_per_class = 2 * tp / np.clip(2 * tp + fp + fn, 1e-8, None)
         return float(np.mean(losses)), global_dc_per_class
@@ -608,6 +620,16 @@ class Trainer:
                                       self.dataset_json)
 
         gt_folder = join(self.preprocessed_dataset_folder_base, "gt_segmentations")
+        if self.target_type == "translation":
+            from ..evaluation.metrics import compute_metrics_on_folder_reg
+            metrics = compute_metrics_on_folder_reg(
+                gt_folder, validation_output_folder,
+                join(validation_output_folder, "summary.json"),
+                self.plans_manager.image_reader_writer_class(),
+                self.dataset_json["file_ending"], num_processes=4)
+            self.print_to_log_file(f"Validation (regression): "
+                                   f"{metrics['foreground_mean']}")
+            return metrics
         lm = self.label_manager
         metrics = compute_metrics_on_folder(
             gt_folder, validation_output_folder,
