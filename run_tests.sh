@@ -10,8 +10,10 @@ $PYTEST tests/test_foundations.py tests/test_imageio.py tests/test_preprocessing
         tests/test_postprocessing_ensembling.py "$@"
 $PYTEST tests/test_losses.py tests/test_selective_scan.py tests/test_data_pipeline.py "$@"
 $PYTEST tests/test_models_basic.py tests/test_zoo_models.py "$@"
-$PYTEST tests/test_m2net.py tests/test_x2net.py "$@"
+$PYTEST tests/test_m2net.py "$@"
+$PYTEST tests/test_x2net.py "$@"
 $PYTEST tests/test_trainer.py tests/test_translation_target.py tests/test_cascade.py "$@"
-$PYTEST tests/test_inference.py tests/test_trainer_m2net.py "$@"
+$PYTEST tests/test_inference.py "$@"
+$PYTEST tests/test_trainer_m2net.py "$@"
 $PYTEST tests/test_integration.py "$@"
 echo "ALL TEST BATCHES PASSED"
