@@ -116,3 +116,20 @@ def resize_linear(x, new_spatial, dim):
 def max_pool(x, window, dim):
     w = _tup(window, dim)
     return nn.max_pool(x, window_shape=w, strides=w)
+
+
+class DropPath(nn.Module):
+    """Stochastic depth (per-sample residual-branch drop, reference timm DropPath
+    used throughout the zoo's VSS/Swin blocks with linearly decayed rates).
+    Parameter-free; wiring through the block constructors + trainer rngs is
+    round-2 work (ROADMAP.md)."""
+    rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        if self.rate == 0.0 or deterministic:
+            return x
+        key = self.make_rng("dropout")
+        keep_shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        keep = jax.random.bernoulli(key, 1.0 - self.rate, keep_shape)
+        return jnp.where(keep, x / (1.0 - self.rate), 0.0)

@@ -409,8 +409,12 @@ class Trainer:
                               folder_with_segs_from_previous_stage=prev_stage_folder)
         dim = len(self.configuration_manager.patch_size)
 
+        # multi-host: each process samples an independent stream (the reference
+        # shards batch/oversample across DDP ranks, `nnUNetTrainer.py:410-453`)
+        host_seed = None if jax.process_count() == 1 else \
+            12345 + jax.process_index()
         train_sampler = PatchSampler(
-            ds_tr, self.configuration_manager.batch_size,
+            ds_tr, self.configuration_manager.batch_size, seed=host_seed,
             initial_patch_size=self.train_aug_cfg.initial_patch_size[-dim:],
             final_patch_size=self.train_aug_cfg.initial_patch_size[-dim:],
             label_manager=self.label_manager,
