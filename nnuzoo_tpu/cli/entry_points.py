@@ -5,6 +5,13 @@ import argparse
 import os
 
 
+def _default_np_for(configurations):
+    """Default preprocessing worker count per requested configuration
+    (reference uses 8/4/8 for 2d/3d_fullres/3d_lowres)."""
+    per_cfg = {"2d": 8, "3d_fullres": 4, "3d_lowres": 8}
+    return [per_cfg.get(c, 4) for c in configurations]
+
+
 def plan_and_preprocess_entry(argv=None):
     p = argparse.ArgumentParser("nnUNetv2_plan_and_preprocess")
     p.add_argument("-d", nargs="+", type=int, required=True, help="dataset ids")
@@ -32,7 +39,7 @@ def plan_and_preprocess_entry(argv=None):
                      overwrite_target_spacing=a.overwrite_target_spacing,
                      overwrite_plans_name=a.overwrite_plans_name)
     if not a.no_pp:
-        np_ = a.np if a.np is not None else (8, 4, 8)
+        np_ = a.np if a.np is not None else _default_np_for(a.c)
         plans_name = a.overwrite_plans_name or "nnUNetPlans"
         preprocess(a.d, plans_name, configurations=a.c, num_processes=np_,
                    verbose=a.verbose)
@@ -76,7 +83,7 @@ def preprocess_entry(argv=None):
     p.add_argument("--verbose", action="store_true")
     a = p.parse_args(argv)
     from ..planning.api import preprocess
-    np_ = a.np if a.np is not None else (8, 4, 8)
+    np_ = a.np if a.np is not None else _default_np_for(a.c)
     preprocess(a.d, a.plans_name, configurations=a.c, num_processes=np_,
                verbose=a.verbose)
 

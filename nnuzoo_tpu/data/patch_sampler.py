@@ -66,7 +66,12 @@ class PatchSampler:
                             np.array(final_patch_size)).astype(int)
         self.sampling_probabilities = sampling_probabilities
         if label_manager is not None:
-            self.annotated_classes_key = tuple([-1] + label_manager.all_labels)
+            # One key convention shared with DefaultPreprocessor (which stores the
+            # all-annotated-voxels entry under tuple(all_labels)); the reference
+            # fork uses tuple([-1] + all_labels) in the loader but never stores
+            # that key (data_loader.py:66 vs default_preprocessor.py:111) so its
+            # lookup silently degrades — we match the *stored* key instead.
+            self.annotated_classes_key = tuple(label_manager.all_labels)
             self.has_ignore = label_manager.has_ignore_label
         else:
             self.annotated_classes_key = ()
@@ -96,7 +101,14 @@ class PatchSampler:
         if use_fg_path:
             if not force_fg and self.has_ignore:
                 selected_class = self.annotated_classes_key
-                if len(class_locations.get(selected_class, [])) == 0:
+                if selected_class not in class_locations:
+                    import warnings
+                    warnings.warn(
+                        f"annotated-classes key {selected_class} missing from "
+                        "class_locations; patch falls back to a uniform random "
+                        "crop (re-run preprocessing?)")
+                    selected_class = None
+                elif len(class_locations[selected_class]) == 0:
                     selected_class = None
             else:
                 assert class_locations is not None

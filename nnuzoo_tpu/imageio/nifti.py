@@ -32,6 +32,25 @@ def _open(fname: str, mode: str):
     return open(fname, mode)
 
 
+# byte offsets of all multi-byte fields in the fixed 348-byte NIfTI-1 header
+_HDR_I32_OFFSETS = (0, 32, 140, 144)
+_HDR_I16_OFFSETS = (36,) + tuple(range(40, 56, 2)) + (68, 70, 72, 74, 120, 252, 254)
+_HDR_F32_OFFSETS = ((56, 60, 64) + tuple(range(76, 120, 4)) +
+                    (124, 128, 132, 136) + tuple(range(256, 328, 4)))
+
+
+def _swap_header_to_le(hdr: bytes) -> bytes:
+    """Byte-swap every multi-byte field of a big-endian NIfTI-1 header to
+    little-endian, so a header captured from a BE file can be re-used verbatim
+    by the (always little-endian) writer."""
+    out = bytearray(hdr)
+    for off in _HDR_I32_OFFSETS + _HDR_F32_OFFSETS:
+        out[off:off + 4] = hdr[off:off + 4][::-1]
+    for off in _HDR_I16_OFFSETS:
+        out[off:off + 2] = hdr[off:off + 2][::-1]
+    return bytes(out)
+
+
 def read_nifti(fname: str) -> Tuple[np.ndarray, dict]:
     """Returns (data in on-disk (x, y, z[, t]) order, header-info dict)."""
     with _open(fname, "rb") as f:
@@ -78,7 +97,8 @@ def read_nifti(fname: str) -> Tuple[np.ndarray, dict]:
     info = {
         "shape": shape,
         "spacing_xyz": tuple(float(abs(p)) if p != 0 else 1.0 for p in pixdim[1:1 + min(ndim, 3)]),
-        "header_bytes": bytes(hdr),
+        # stored little-endian so write_nifti's LE field patching stays coherent
+        "header_bytes": _swap_header_to_le(hdr) if swapped else bytes(hdr),
         "swapped": swapped,
         "gz": fname.endswith(".gz"),
     }

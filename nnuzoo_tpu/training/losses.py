@@ -133,7 +133,9 @@ def dice_bce_loss(logits: jnp.ndarray, target: jnp.ndarray, batch_dice: bool,
     per_pixel = jnp.maximum(logits, 0) - logits * target_regions + \
         jnp.log1p(jnp.exp(-jnp.abs(logits)))
     if mask is not None:
-        bce = jnp.sum(per_pixel * mask) / jnp.clip(jnp.sum(mask) * logits.shape[1], 1.0)
+        # reference DC_and_BCE_loss sums BCE over all C region channels and
+        # divides by the 1-channel mask sum only (compound_losses.py:101)
+        bce = jnp.sum(per_pixel * mask) / jnp.clip(jnp.sum(mask), 1.0)
     else:
         bce = per_pixel.mean()
     return weight_ce * bce + weight_dice * dc

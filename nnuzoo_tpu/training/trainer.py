@@ -416,7 +416,7 @@ class Trainer:
         train_sampler = PatchSampler(
             ds_tr, self.configuration_manager.batch_size, seed=host_seed,
             initial_patch_size=self.train_aug_cfg.initial_patch_size[-dim:],
-            final_patch_size=self.train_aug_cfg.initial_patch_size[-dim:],
+            final_patch_size=tuple(self.configuration_manager.patch_size),
             label_manager=self.label_manager,
             oversample_foreground_percent=self.config.oversample_foreground_percent,
             target_type=self.target_type)

@@ -89,6 +89,36 @@ class TestPatchSampler:
         batch = sampler.generate_train_batch()
         assert batch["data"].shape == (2, 1, 20, 20)
 
+    def test_ignore_label_annotated_key_matches_preprocessor(self, tmp_path):
+        # the sampler's annotated-classes key must equal the key the
+        # preprocessor stores (tuple(all_labels)) so ignore-label sampling
+        # actually centers patches on annotated voxels
+        from nnuzoo_tpu.preprocessing.preprocessor import DefaultPreprocessor
+        folder = str(tmp_path)
+        _write_case(folder, "case_0")
+        ds = DatasetNumpy(folder)
+        lm = LabelManager({"background": 0, "fg": 1, "ignore": 2}, None)
+        assert lm.has_ignore_label
+        seg = np.zeros((1, 10, 10, 10), np.int8)
+        seg[0, 2:5, 2:5, 2:5] = 1
+        seg[0, 8:, 8:, 8:] = 2
+        collect = list(lm.foreground_labels) + [lm.all_labels]
+        locs = DefaultPreprocessor._sample_foreground_locations(seg, collect)
+        sampler = PatchSampler(ds, batch_size=2, initial_patch_size=(8, 8, 8),
+                               final_patch_size=(8, 8, 8), label_manager=lm,
+                               oversample_foreground_percent=0.0, seed=0)
+        assert sampler.annotated_classes_key in locs
+        # non-oversampled draws on an ignore dataset center on annotated voxels
+        lbs, ubs = sampler.get_bbox((10, 10, 10), force_fg=False,
+                                    class_locations=locs)
+        center = [lo + 4 for lo in lbs]
+        annotated = np.argwhere(seg[0] != 2)
+        assert any(np.array_equal(center, a) for a in annotated)
+        # force_fg path must drop the all-labels entry when real fg exists
+        lbs, ubs = sampler.get_bbox((10, 10, 10), force_fg=True,
+                                    class_locations=locs)
+        assert seg[0][tuple(lo + 4 for lo in lbs)] == 1
+
     def test_patch_larger_than_volume(self, tmp_path):
         folder = str(tmp_path)
         _write_case(folder, "case_0", shape=(1, 8, 8, 8))

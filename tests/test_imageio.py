@@ -43,6 +43,38 @@ class TestNifti:
         assert np.array_equal(seg_back[0].astype(np.uint8), seg)
         assert props_back["spacing"] == props["spacing"]
 
+    def test_big_endian_roundtrip(self, tmp_path, rng):
+        # fabricate a big-endian NIfTI by byte-swapping a little-endian one,
+        # then verify seg write-with-reused-header produces a valid LE file
+        from nnuzoo_tpu.imageio.nifti import (_HDR_F32_OFFSETS, _HDR_I16_OFFSETS,
+                                              _HDR_I32_OFFSETS, HDR_SIZE)
+        le = str(tmp_path / "le.nii")
+        data = rng.randint(0, 500, size=(5, 6, 7)).astype(np.int16)
+        write_nifti(le, data, spacing_xyz=(0.5, 1.5, 2.5))
+        raw = bytearray(open(le, "rb").read())
+        for off in _HDR_I32_OFFSETS + _HDR_F32_OFFSETS:
+            raw[off:off + 4] = bytes(raw[off:off + 4])[::-1]
+        for off in _HDR_I16_OFFSETS:
+            raw[off:off + 2] = bytes(raw[off:off + 2])[::-1]
+        body = np.frombuffer(bytes(raw[352:]), dtype=np.int16).byteswap().tobytes()
+        be = str(tmp_path / "be.nii")
+        open(be, "wb").write(bytes(raw[:352]) + body)
+
+        back, info = read_nifti(be)
+        assert info["swapped"]
+        assert np.array_equal(back, data)
+        assert np.allclose(info["spacing_xyz"], (0.5, 1.5, 2.5))
+
+        # reused header must now be little-endian end to end
+        io = NiftiIO()
+        img, props = io.read_images([be])
+        out = str(tmp_path / "seg_from_be.nii")
+        io.write_seg((img[0] > 250).astype(np.uint8), out, props)
+        seg_back, props_back = io.read_seg(out)
+        assert not read_nifti(out)[1]["swapped"]
+        assert props_back["spacing"] == props["spacing"]
+        assert np.array_equal(seg_back[0], (img[0] > 250).astype(np.uint8))
+
     def test_scl_slope(self, tmp_path):
         # manually patch scl_slope into a written file
         import struct
