@@ -29,11 +29,14 @@ class DevicePrefetcher:
         self._thread.start()
 
     def _transfer(self, batch: dict) -> dict:
+        from ..parallel.mesh import make_global_batch
         out = {}
         for k, v in batch.items():
             if isinstance(v, np.ndarray):
-                out[k] = (jax.device_put(v, self.sharding) if self.sharding is not None
-                          else jax.device_put(v))
+                # multi-host: v is this process's slice of the global batch;
+                # make_global_batch assembles the globally-sharded array
+                out[k] = (make_global_batch(self.sharding, v)
+                          if self.sharding is not None else jax.device_put(v))
             else:
                 out[k] = v
         return out

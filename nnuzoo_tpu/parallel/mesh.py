@@ -24,6 +24,52 @@ def maybe_init_distributed() -> None:
             process_id=int(os.environ.get("NNUZOO_PROCESS_ID", "0")))
 
 
+def shard_global_batch(global_batch_size: int, oversample_percent: float,
+                       process_index: Optional[int] = None,
+                       process_count: Optional[int] = None,
+                       n_devices: Optional[int] = None):
+    """Split the GLOBAL batch across processes, reference DDP semantics
+    (`nnunetv2/training/nnUNetTrainer/nnUNetTrainer.py:410-453`): every process
+    samples only its slice of the global batch, and its oversample fraction is
+    chosen so the globally-LAST ``round(global * (1 - p))`` samples are the
+    force-foreground ones regardless of which process draws them.
+
+    One TPU-driven deviation: XLA SPMD needs equal shards per device, so the
+    global batch is rounded UP to a multiple of the device count (the reference
+    allows ragged per-rank batches; we log the adjustment instead).
+
+    Returns ``(adjusted_global_batch, local_batch, local_oversample_percent)``.
+    """
+    world = jax.process_count() if process_count is None else process_count
+    rank = jax.process_index() if process_index is None else process_index
+    if world == 1:
+        return global_batch_size, global_batch_size, oversample_percent
+    n_dev = jax.device_count() if n_devices is None else n_devices
+    div = max(n_dev, world)
+    adjusted = -(-global_batch_size // div) * div  # ceil to a device multiple
+    local = adjusted // world
+
+    lo, hi = rank * local, (rank + 1) * local
+    # per-sample force-fg decision on the GLOBAL batch, same round() scheme as
+    # the per-process sampler uses
+    cutoff = round(adjusted * (1 - oversample_percent))
+    if hi <= cutoff:
+        local_pct = 0.0
+    elif lo >= cutoff:
+        local_pct = 1.0
+    else:
+        local_pct = (hi - cutoff) / local
+    return adjusted, local, local_pct
+
+
+def make_global_batch(sharding: NamedSharding, local_array: np.ndarray):
+    """Assemble a globally-sharded jax.Array from this process's local batch
+    slice. Single-process: plain device_put."""
+    if jax.process_count() == 1:
+        return jax.device_put(local_array, sharding)
+    return jax.make_array_from_process_local_data(sharding, local_array)
+
+
 def get_data_mesh(num_devices: Optional[int] = None) -> Mesh:
     devices = jax.devices()
     if num_devices is not None:

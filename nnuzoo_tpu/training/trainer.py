@@ -36,7 +36,8 @@ from ..data.loader import DevicePrefetcher
 from ..data.patch_sampler import PatchSampler
 from ..configuration import ANISO_THRESHOLD
 from ..models.registry import get_model_builder
-from ..parallel.mesh import get_data_mesh, shard_batch_spec
+from ..parallel.mesh import (get_data_mesh, shard_batch_spec,
+                             shard_global_batch)
 from ..plans.label_handling import determine_num_input_channels
 from ..plans.plans_handler import PlansManager
 from ..utilities.crossval import generate_crossval_split
@@ -103,6 +104,9 @@ class Trainer:
         self._val_step_fn = None
         self._rng = jax.random.PRNGKey(int.from_bytes(os.urandom(4), "little"))
         self.was_initialized = False
+        # rank-0-only writes, reference DDP convention (local_rank == 0 guards
+        # around checkpoint/log/plot writes in nnUNetTrainer)
+        self.is_rank0 = jax.process_index() == 0
 
         maybe_mkdir(self.output_folder)
         ts = datetime.now().strftime("%Y_%m_%d_%H_%M_%S")
@@ -118,12 +122,13 @@ class Trainer:
                           add_timestamp=True):
         if add_timestamp:
             args = (f"{datetime.now()}:", *args)
-        try:
-            with open(self.log_file, "a+") as f:
-                f.write(" ".join(str(a) for a in args) + "\n")
-        except IOError:
-            pass
-        if also_print_to_console:
+        if self.is_rank0:
+            try:
+                with open(self.log_file, "a+") as f:
+                    f.write(" ".join(str(a) for a in args) + "\n")
+            except IOError:
+                pass
+        if also_print_to_console and self.is_rank0:
             print(*args)
 
     # ----------------------------------------------------------------- DS scales
@@ -266,10 +271,26 @@ class Trainer:
         self.state = {"params": params, "opt_state": opt_state,
                       "step": jnp.zeros((), jnp.int32)}
 
-        # data-parallel mesh: use as many devices as evenly divide the batch
+        # data-parallel mesh + reference DDP batch semantics: the GLOBAL batch
+        # is split across processes, per-process oversample adjusted so the
+        # globally-last 33% are the force-fg samples (nnUNetTrainer.py:410-453)
         import math
-        n_dev = math.gcd(self.configuration_manager.batch_size, jax.device_count())
-        self.mesh = get_data_mesh(num_devices=max(1, n_dev))
+        if jax.process_count() > 1:
+            self.global_batch_size, self.local_batch_size, self.local_oversample = \
+                shard_global_batch(self.configuration_manager.batch_size,
+                                   self.config.oversample_foreground_percent)
+            if self.global_batch_size != self.configuration_manager.batch_size:
+                self.print_to_log_file(
+                    f"global batch rounded {self.configuration_manager.batch_size}"
+                    f" -> {self.global_batch_size} (device-count multiple)")
+            self.mesh = get_data_mesh()  # all devices across all processes
+        else:
+            self.global_batch_size = self.local_batch_size = \
+                self.configuration_manager.batch_size
+            self.local_oversample = self.config.oversample_foreground_percent
+            # use as many devices as evenly divide the batch
+            n_dev = math.gcd(self.global_batch_size, jax.device_count())
+            self.mesh = get_data_mesh(num_devices=max(1, n_dev))
         self._build_step_fns()
         n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
         self.print_to_log_file(
@@ -409,23 +430,25 @@ class Trainer:
                               folder_with_segs_from_previous_stage=prev_stage_folder)
         dim = len(self.configuration_manager.patch_size)
 
-        # multi-host: each process samples an independent stream (the reference
-        # shards batch/oversample across DDP ranks, `nnUNetTrainer.py:410-453`)
+        # multi-host: each process samples only its slice of the global batch
+        # with a per-rank oversample fraction (reference DDP semantics,
+        # `nnUNetTrainer.py:410-453`); seeds differ per process so slices are
+        # independent draws
         host_seed = None if jax.process_count() == 1 else \
             12345 + jax.process_index()
         train_sampler = PatchSampler(
-            ds_tr, self.configuration_manager.batch_size, seed=host_seed,
+            ds_tr, self.local_batch_size, seed=host_seed,
             initial_patch_size=self.train_aug_cfg.initial_patch_size[-dim:],
             final_patch_size=tuple(self.configuration_manager.patch_size),
             label_manager=self.label_manager,
-            oversample_foreground_percent=self.config.oversample_foreground_percent,
+            oversample_foreground_percent=self.local_oversample,
             target_type=self.target_type)
         val_sampler = PatchSampler(
-            ds_val, self.configuration_manager.batch_size,
+            ds_val, self.local_batch_size, seed=host_seed,
             initial_patch_size=self.configuration_manager.patch_size,
             final_patch_size=self.configuration_manager.patch_size,
             label_manager=self.label_manager,
-            oversample_foreground_percent=self.config.oversample_foreground_percent,
+            oversample_foreground_percent=self.local_oversample,
             target_type=self.target_type)
 
         sharding = shard_batch_spec(self.mesh)
@@ -520,10 +543,12 @@ class Trainer:
         if self.unpack_dataset_flag:
             unpack_dataset(self.preprocessed_dataset_folder, num_processes=4)
         self.get_dataloaders()
-        save_json(self.plans_manager.plans,
-                  join(self.output_folder_base, "plans.json"), sort_keys=False)
-        save_json(self.dataset_json, join(self.output_folder_base, "dataset.json"))
-        self._save_debug_information()
+        if self.is_rank0:
+            save_json(self.plans_manager.plans,
+                      join(self.output_folder_base, "plans.json"), sort_keys=False)
+            save_json(self.dataset_json,
+                      join(self.output_folder_base, "dataset.json"))
+            self._save_debug_information()
 
     def _save_debug_information(self):
         dbg = {"trainer_name": self.trainer_name,
@@ -545,14 +570,15 @@ class Trainer:
             self._best_ema = ema
             self.print_to_log_file(f"New best EMA pseudo dice: {ema:.4f}")
             self.save_checkpoint(join(self.output_folder, "checkpoint_best.pth"))
-        self.logger.plot_progress_png(self.output_folder)
+        if self.is_rank0:
+            self.logger.plot_progress_png(self.output_folder)
 
     def on_train_end(self):
         self.current_epoch -= 1
         self.save_checkpoint(join(self.output_folder, "checkpoint_final.pth"))
         self.current_epoch += 1
         latest = join(self.output_folder, "checkpoint_latest.pth")
-        if isfile(latest):
+        if self.is_rank0 and isfile(latest):
             os.remove(latest)
         for dl in (getattr(self, "dataloader_train", None),
                    getattr(self, "dataloader_val", None)):
@@ -583,6 +609,10 @@ class Trainer:
         maybe_mkdir(validation_output_folder)
         _, val_keys = self.do_split()
         dataset_val = DatasetNumpy(self.preprocessed_dataset_folder, val_keys)
+        # multi-host: stripe validation cases over processes (reference
+        # `val_keys[rank::world]`, nnUNetTrainer.py:1387), sync before metrics
+        if jax.process_count() > 1:
+            val_keys = val_keys[jax.process_index()::jax.process_count()]
 
         for k in val_keys:
             data, seg, seg_prev, properties = dataset_val.load_case(k)
@@ -623,6 +653,12 @@ class Trainer:
                                       self.configuration_manager, props,
                                       self.dataset_json)
 
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+            multihost_utils.sync_global_devices("nnuzoo_validation_done")
+            if not self.is_rank0:
+                return {}
+
         gt_folder = join(self.preprocessed_dataset_folder_base, "gt_segmentations")
         if self.target_type == "translation":
             from ..evaluation.metrics import compute_metrics_on_folder_reg
@@ -653,6 +689,8 @@ class Trainer:
 
     # ----------------------------------------------------------------- checkpoint
     def save_checkpoint(self, filename: str) -> None:
+        if not self.is_rank0:
+            return
         state_np = jax.tree.map(np.asarray, self.state)
         checkpoint = {
             "network_weights": serialization.to_bytes(state_np["params"]),

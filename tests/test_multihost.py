@@ -1,0 +1,130 @@
+"""Multi-host data parallelism: reference DDP batch/oversample sharding
+semantics (`nnunetv2/training/nnUNetTrainer/nnUNetTrainer.py:410-453`) and a
+real 2-process jax.distributed training run on CPU devices."""
+
+import os
+import subprocess
+import sys
+import textwrap
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+from nnuzoo_tpu.parallel.mesh import shard_global_batch
+
+from .helpers import make_synthetic_dataset, set_paths
+
+
+class TestShardGlobalBatch:
+    def test_single_process_passthrough(self):
+        assert shard_global_batch(12, 0.33, 0, 1) == (12, 12, 0.33)
+
+    def test_even_split_oversample_mapping(self):
+        # global 12 over 2 procs x 2 devices: cutoff = round(12*0.67) = 8
+        g, local, pct0 = shard_global_batch(12, 0.33, 0, 2, n_devices=4)
+        assert (g, local) == (12, 6)
+        assert pct0 == 0.0          # rank0 samples [0, 6) < 8: never forced
+        _, _, pct1 = shard_global_batch(12, 0.33, 1, 2, n_devices=4)
+        assert pct1 == pytest.approx(4 / 6)  # rank1 [6, 12): 4 of 6 forced
+
+        # the per-rank round() scheme reproduces the global pattern:
+        # rank1 (local batch 6) forces its last round(6 * 4/6) = 4 samples ->
+        # global samples 8..11, exactly the reference's globally-last-4
+        forced1 = [not i < round(local * (1 - pct1)) for i in range(local)]
+        assert forced1 == [False, False, True, True, True, True]
+
+    def test_rounding_to_device_multiple(self):
+        g, local, _ = shard_global_batch(9, 0.33, 0, 2, n_devices=4)
+        assert g == 12 and local == 6
+
+    def test_all_forced_rank(self):
+        # 4 ranks, pct 0.5: cutoff = 2; rank3 samples [3,4) entirely forced
+        _, _, pct3 = shard_global_batch(4, 0.5, 3, 4, n_devices=4)
+        assert pct3 == 1.0
+        _, _, pct0 = shard_global_batch(4, 0.5, 0, 4, n_devices=4)
+        assert pct0 == 0.0
+
+
+_CHILD = textwrap.dedent("""
+    import os, sys
+    rank = int(sys.argv[1]); port = sys.argv[2]; pp = sys.argv[3]; res = sys.argv[4]
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["nnUNet_preprocessed"] = pp
+    os.environ["nnUNet_results"] = res
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(coordinator_address=f"localhost:{port}",
+                               num_processes=2, process_id=rank)
+    assert jax.process_count() == 2 and jax.device_count() == 4
+
+    from dataclasses import replace
+    import numpy as np
+    from nnuzoo_tpu.training.trainer import Trainer
+    from nnuzoo_tpu.utilities.io import join, load_json
+
+    plans = load_json(join(pp, "Dataset999_Synth", "nnUNetPlans.json"))
+    cfg = plans["configurations"]["3d_fullres"]
+    cfg["batch_size"] = 3        # rounds up to 4 (device multiple), local 2
+    cfg["patch_size"] = [16, 16, 16]
+    dataset_json = load_json(join(pp, "Dataset999_Synth", "dataset.json"))
+    trainer = Trainer(plans, "3d_fullres", fold=0, dataset_json=dataset_json,
+                      trainer_name="nnUNetTrainer")
+    trainer.config = replace(trainer.config, num_epochs=1,
+                             num_iterations_per_epoch=2,
+                             num_val_iterations_per_epoch=1)
+    trainer.run_training()
+
+    assert trainer.global_batch_size == 4
+    assert trainer.local_batch_size == 2
+    # cutoff = round(4 * 0.67) = 3: rank0 [0,2) none forced, rank1 [2,4) half
+    expect = 0.0 if rank == 0 else 0.5
+    assert trainer.local_oversample == expect, trainer.local_oversample
+    loss = trainer.logger.my_fantastic_logging["train_losses"][0]
+    assert np.isfinite(loss)
+    print(f"MHLOSS {rank} {loss:.6f}", flush=True)
+""")
+
+
+@pytest.mark.timeout(900)
+def test_two_process_training(tmp_path):
+    raw, pp, res = set_paths(tmp_path)
+    make_synthetic_dataset(raw, num_cases=6, shape=(24, 28, 20))
+    from nnuzoo_tpu.planning.api import (extract_fingerprints, plan_experiments,
+                                         preprocess)
+    extract_fingerprints([999], num_processes=1)
+    plan_experiments([999])
+    preprocess([999], configurations=("3d_fullres",), num_processes=(1,))
+
+    script = str(tmp_path / "child.py")
+    with open(script, "w") as f:
+        f.write(_CHILD)
+    port = str(29600 + os.getpid() % 100)
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.pathsep.join(
+        [p for p in [os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     env.get("PYTHONPATH", "")] if p])
+    procs = [subprocess.Popen(
+        [sys.executable, script, str(r), port, pp, res],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+        for r in range(2)]
+    outs = [p.communicate(timeout=840)[0] for p in procs]
+    for r, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"rank {r} failed:\n{out[-4000:]}"
+
+    losses = {}
+    for out in outs:
+        for line in out.splitlines():
+            if line.startswith("MHLOSS"):
+                _, r, v = line.split()
+                losses[int(r)] = float(v)
+    assert set(losses) == {0, 1}
+    # SPMD: the loss is a global reduction, identical on every process
+    assert losses[0] == pytest.approx(losses[1], abs=1e-6)
+
+    # rank-0-only artifacts exist exactly once
+    out_dir = os.path.join(res, "Dataset999_Synth",
+                           "nnUNetTrainer__nnUNetPlans__3d_fullres", "fold_0")
+    assert os.path.isfile(os.path.join(out_dir, "checkpoint_final.pth"))
