@@ -338,3 +338,53 @@ def predict_from_modelfolder_entry(argv=None):
                                  num_parts=a.num_parts, part_id=a.part_id,
                                  folder_with_segs_from_prev_stage=
                                  a.prev_stage_predictions)
+
+
+def convert_old_nnunet_dataset_entry(argv=None):
+    p = argparse.ArgumentParser("nnUNetv2_convert_old_nnUNet_dataset")
+    p.add_argument("input_folder",
+                   help="path to the old TaskXXX_YYY raw folder (with "
+                        "imagesTr/labelsTr etc)")
+    p.add_argument("output_dataset_name",
+                   help="new dataset NAME following DatasetXXX_NAME")
+    a = p.parse_args(argv)
+    from ..dataset_conversion.more_datasets import convert_old_nnunet_dataset
+    convert_old_nnunet_dataset(a.input_folder, a.output_dataset_name)
+
+
+def accumulate_crossval_results_entry(argv=None):
+    p = argparse.ArgumentParser("nnUNetv2_accumulate_crossval_results")
+    p.add_argument("trained_model_folder",
+                   help="Trainer__Plans__config results folder")
+    p.add_argument("-o", default=None,
+                   help="merged output folder (default: "
+                        "<model folder>/crossval_results_folds_...)")
+    p.add_argument("-f", nargs="+", type=int, default=(0, 1, 2, 3, 4))
+    a = p.parse_args(argv)
+    from ..evaluation.find_best_configuration import accumulate_cv_results
+    from ..utilities.file_path_utilities import folds_tuple_to_string
+    from ..utilities.io import join
+    out = a.o or join(a.trained_model_folder,
+                      f"crossval_results_folds_{folds_tuple_to_string(a.f)}")
+    accumulate_cv_results(a.trained_model_folder, out, a.f)
+
+
+def download_model_by_url_entry(argv=None):
+    p = argparse.ArgumentParser("nnUNetv2_download_pretrained_model_by_url")
+    p.add_argument("url", help="URL of a model zip exported with "
+                               "nnUNetv2_export_model_to_zip")
+    a = p.parse_args(argv)
+    from ..model_sharing.download import download_and_install_from_url
+    download_and_install_from_url(a.url)
+
+
+def move_plans_between_datasets_entry(argv=None):
+    p = argparse.ArgumentParser("nnUNetv2_move_plans_between_datasets")
+    p.add_argument("-s", required=True, help="source dataset name or id")
+    p.add_argument("-t", required=True, help="target dataset name or id")
+    p.add_argument("-sp", required=True, help="source plans identifier")
+    p.add_argument("-tp", default=None, help="target plans identifier "
+                   "(default: keep the source identifier)")
+    a = p.parse_args(argv)
+    from ..planning.plans_editing import move_plans_between_datasets
+    move_plans_between_datasets(a.s, a.t, a.sp, a.tp)

@@ -28,3 +28,9 @@ def parse_identifier(identifier: str):
     parts = identifier.split("__")
     assert len(parts) == 3, f"Cannot parse {identifier!r}"
     return tuple(parts)  # trainer, plans, configuration
+
+
+def folds_tuple_to_string(folds) -> str:
+    """(0, 1, 2) -> '0_1_2' (reference `file_path_utilities.py` naming of
+    crossval_results_folds_X folders)."""
+    return "_".join(str(f) for f in folds)
