@@ -55,10 +55,12 @@ def _build_step(trainer_name, model, patch, batch):
         return jnp.moveaxis(t, 1, -1)
 
     def train_step(params, opt_state, data, seg, key):
-        data_aug, targets = augment_train_batch(aug_cfg, key, data, seg)
+        aug_key, drop_key = jax.random.split(key)
+        data_aug, targets = augment_train_batch(aug_cfg, aug_key, data, seg)
 
         def loss_fn(p):
-            outputs = model.apply(p, to_cl(data_aug), train=True)
+            outputs = model.apply(p, to_cl(data_aug), train=True,
+                                  rngs={"dropout": drop_key})
             w = get_deep_supervision_weights(len(outputs))
             return deep_supervision_loss(
                 lambda o, t: dice_ce_loss(jnp.moveaxis(o, -1, 1), t,

@@ -399,7 +399,7 @@ def _augment_sample(cfg: AugmentConfig, key, data, seg):
     data = _intensity_chain(cfg, k_intensity, data)
     data, seg = _mirror(cfg, k_mirror, data, seg)
 
-    if any(cfg.use_mask_for_norm):
+    if any(cfg.use_mask_for_norm) and seg is not None:
         mask = seg[0:1] >= 0
         chans = []
         for c in range(data.shape[0]):

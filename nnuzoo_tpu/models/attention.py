@@ -12,6 +12,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .layers import DropPath
+
 
 class MLP(nn.Module):
     hidden_dim: int
@@ -47,18 +49,21 @@ class Attention(nn.Module):
 
 
 class ViTBlock(nn.Module):
-    """Pre-LN transformer block (reference `unetr2net.py:568`)."""
+    """Pre-LN transformer block (reference `unetr2net.py:568`; drop_path =
+    stochastic depth on both residual branches, timm convention)."""
     num_heads: int
     mlp_ratio: float = 4.0
     qkv_bias: bool = False
+    drop_path: float = 0.0
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         C = x.shape[-1]
-        x = x + Attention(self.num_heads, self.qkv_bias, name="attn")(
-            nn.LayerNorm(name="norm1")(x))
-        x = x + MLP(int(C * self.mlp_ratio), C, name="mlp")(
-            nn.LayerNorm(name="norm2")(x), train=train)
+        dp = DropPath(self.drop_path, name="drop_path")
+        x = x + dp(Attention(self.num_heads, self.qkv_bias, name="attn")(
+            nn.LayerNorm(name="norm1")(x)), deterministic=not train)
+        x = x + dp(MLP(int(C * self.mlp_ratio), C, name="mlp")(
+            nn.LayerNorm(name="norm2")(x), train=train), deterministic=not train)
         return x
 
 
@@ -117,20 +122,39 @@ class WindowAttention(nn.Module):
         return nn.Dense(C, name="proj")(out)
 
 
-def _shift_attn_mask(H, W, window, shift):
-    """Attention mask for shifted windows (Swin)."""
-    img_mask = np.zeros((1, H, W, 1))
-    cnt = 0
-    for h_sl in (slice(0, -window), slice(-window, -shift), slice(-shift, None)):
-        for w_sl in (slice(0, -window), slice(-window, -shift),
-                     slice(-shift, None)):
-            img_mask[:, h_sl, w_sl, :] = cnt
-            cnt += 1
-    mask_windows = img_mask.reshape(1, H // window, window, W // window, window, 1)
-    mask_windows = mask_windows.transpose(0, 1, 3, 2, 4, 5).reshape(
-        -1, window * window)
-    diff = mask_windows[:, None, :] - mask_windows[:, :, None]
+def _shift_attn_mask_nd(spatial, window, shift):
+    """Attention mask for N-D shifted windows (Swin): partition each shifted
+    axis into (body, window-shift, shift) bands -> up to 3^dims regions; window
+    positions from different regions must not attend to each other. Built with
+    numpy at trace time (static shapes), so it constant-folds under jit."""
+    import itertools
+
+    dims = len(spatial)
+    img_mask = np.zeros((1, *spatial, 1))
+    bands = []
+    for w, s in zip(window, shift):
+        if s > 0:
+            bands.append((slice(0, -w), slice(-w, -s), slice(-s, None)))
+        else:
+            bands.append((slice(None),))
+    for cnt, region in enumerate(itertools.product(*bands)):
+        img_mask[(slice(None), *region, slice(None))] = cnt
+
+    # numpy window partition (same layout as window_partition_nd)
+    shape = [1]
+    for s, w in zip(spatial, window):
+        shape += [s // w, w]
+    m = img_mask.reshape(*shape, 1)
+    perm = [0] + [1 + 2 * i for i in range(dims)] + \
+        [2 + 2 * i for i in range(dims)] + [1 + 2 * dims]
+    m = m.transpose(perm).reshape(-1, int(np.prod(window)))
+    diff = m[:, None, :] - m[:, :, None]
     return jnp.asarray(np.where(diff != 0, -100.0, 0.0), jnp.float32)
+
+
+def _shift_attn_mask(H, W, window, shift):
+    """2D shifted-window mask (kept as the historical entry point)."""
+    return _shift_attn_mask_nd((H, W), (window, window), (shift, shift))
 
 
 class SwinBlock(nn.Module):
@@ -139,6 +163,7 @@ class SwinBlock(nn.Module):
     window: int = 7
     shift: int = 0
     mlp_ratio: float = 4.0
+    drop_path: float = 0.0
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -166,9 +191,10 @@ class SwinBlock(nn.Module):
             h = jnp.roll(h, (shift, shift), axis=(1, 2))
         if pad_h or pad_w:
             h = h[:, :H, :W]
-        x = shortcut + h
-        x = x + MLP(int(C * self.mlp_ratio), C, name="mlp")(
-            nn.LayerNorm(name="norm2")(x), train=train)
+        dp = DropPath(self.drop_path, name="drop_path")
+        x = shortcut + dp(h, deterministic=not train)
+        x = x + dp(MLP(int(C * self.mlp_ratio), C, name="mlp")(
+            nn.LayerNorm(name="norm2")(x), train=train), deterministic=not train)
         return x
 
 
@@ -252,12 +278,14 @@ class WindowAttentionND(nn.Module):
 
 
 class SwinBlockND(nn.Module):
-    """N-D (shifted-)window transformer block. Shifted-window masks are
-    restricted to the 2D case; 3D uses plain windows (shift=0) for now."""
+    """N-D (shifted-)window transformer block with full N-D cyclic-shift masks
+    (reference monai SwinUNETR 3D shifted windows via
+    `nnUNetTrainerSwUNETR.py:38-46`)."""
     num_heads: int
     window: int = 7
     shift: int = 0
     mlp_ratio: float = 4.0
+    drop_path: float = 0.0
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -267,8 +295,12 @@ class SwinBlockND(nn.Module):
         dims = len(spatial)
         if dims == 2:
             return SwinBlock(self.num_heads, self.window, self.shift,
-                             self.mlp_ratio, name="block2d")(x, train=train)
+                             self.mlp_ratio, self.drop_path,
+                             name="block2d")(x, train=train)
         window = tuple(min(self.window, s) for s in spatial)
+        # per-axis shift: no shift along axes the window fully covers
+        shift = tuple(self.shift if w < s else 0
+                      for w, s in zip(window, spatial))
         pads = [(-s) % w for s, w in zip(spatial, window)]
 
         shortcut = x
@@ -276,12 +308,21 @@ class SwinBlockND(nn.Module):
         if any(pads):
             h = jnp.pad(h, [(0, 0)] + [(0, p) for p in pads] + [(0, 0)])
         padded_spatial = tuple(s + p for s, p in zip(spatial, pads))
+        if any(shift):
+            h = jnp.roll(h, tuple(-s for s in shift),
+                         axis=tuple(range(1, dims + 1)))
+            mask = _shift_attn_mask_nd(padded_spatial, window, shift)
+        else:
+            mask = None
         wins = window_partition_nd(h, window)
-        wins = WindowAttentionND(window, self.num_heads, name="attn")(wins)
+        wins = WindowAttentionND(window, self.num_heads, name="attn")(wins, mask)
         h = window_reverse_nd(wins, window, padded_spatial)
+        if any(shift):
+            h = jnp.roll(h, shift, axis=tuple(range(1, dims + 1)))
         if any(pads):
             h = h[tuple([slice(None)] + [slice(0, s) for s in spatial])]
-        x = shortcut + h
-        x = x + MLP(int(C * self.mlp_ratio), C, name="mlp")(
-            nn.LayerNorm(name="norm2")(x), train=train)
+        dp = DropPath(self.drop_path, name="drop_path")
+        x = shortcut + dp(h, deterministic=not train)
+        x = x + dp(MLP(int(C * self.mlp_ratio), C, name="mlp")(
+            nn.LayerNorm(name="norm2")(x), train=train), deterministic=not train)
         return x

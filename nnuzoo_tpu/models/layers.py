@@ -120,14 +120,14 @@ def max_pool(x, window, dim):
 
 class DropPath(nn.Module):
     """Stochastic depth (per-sample residual-branch drop, reference timm DropPath
-    used throughout the zoo's VSS/Swin blocks with linearly decayed rates).
-    Parameter-free; wiring through the block constructors + trainer rngs is
-    round-2 work (ROADMAP.md)."""
+    used throughout the zoo's VSS/Swin/ViT blocks with linearly decayed rates).
+    Active only in train mode AND when the caller supplies a "dropout" rng
+    (the trainer does; forward-only smoke calls without rngs run the identity)."""
     rate: float = 0.0
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
-        if self.rate == 0.0 or deterministic:
+        if self.rate == 0.0 or deterministic or not self.has_rng("dropout"):
             return x
         key = self.make_rng("dropout")
         keep_shape = (x.shape[0],) + (1,) * (x.ndim - 1)

@@ -33,22 +33,35 @@ def _maxpool2_ceil(x):
     return nn.max_pool(x, (2, 2), strides=(2, 2))
 
 
+def _stage_blocks(remat: bool):
+    """Optionally remat the per-stage sub-networks: with ``remat=True`` each
+    MU / RSU4F stage's internal activations are recomputed in the backward
+    pass (flash-style), cutting peak HBM by ~the stage depth — required to fit
+    the canonical 256x224 b12 training step on a 16 GB v5e chip."""
+    if not remat:
+        return MU, RSU4F
+    return (nn.remat(MU, static_argnums=(2,)),       # (self, x, train)
+            nn.remat(RSU4F))
+
+
 class M2Net(nn.Module):
     num_classes: int
     deep_supervision: bool = True
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         full_res = x.shape[1:3]
+        MU, RSU4F = _stage_blocks(self.remat)
 
         # ------------------------------ encoder
-        hx1 = MU(x.shape[-1], 16, 32, 7, name="stage1")(x, train=train)
+        hx1 = MU(x.shape[-1], 16, 32, 7, name="stage1")(x, train)
         hx = PatchMerging2D(32, 2, name="patch_merging1")(hx1)         # 64 @ /2
-        hx2 = MU(64, 32, 64, 6, name="stage2")(hx, train=train)
+        hx2 = MU(64, 32, 64, 6, name="stage2")(hx, train)
         hx = PatchMerging2D(64, 2, name="patch_merging2")(hx2)         # 128 @ /4
-        hx3 = MU(128, 64, 128, 5, name="stage3")(hx, train=train)
+        hx3 = MU(128, 64, 128, 5, name="stage3")(hx, train)
         hx = PatchMerging2D(128, 2, name="patch_merging3")(hx3)        # 256 @ /8
-        hx4 = MU(256, 128, 256, 4, name="stage4")(hx, train=train)
+        hx4 = MU(256, 128, 256, 4, name="stage4")(hx, train)
         hx = PatchMerging2D(256, 2, name="patch_merging4")(hx4)        # 512 @ /16
         hx5 = RSU4F(256, 512, name="stage5")(hx)
         hx = _maxpool2_ceil(hx5)                                        # 512 @ /32
@@ -61,19 +74,19 @@ class M2Net(nn.Module):
         up = PatchExpand(512, 2, name="patch_expand4d")(hx5d)           # 256 @ /8
         up = nn.Dense(256, name="concat_back_dim4d")(
             jnp.concatenate([up, hx4], -1))
-        hx4d = MU(256, 128, 256, 4, name="stage4d")(up, train=train)
+        hx4d = MU(256, 128, 256, 4, name="stage4d")(up, train)
         up = PatchExpand(256, 2, name="patch_expand3d")(hx4d)          # 128 @ /4
         up = nn.Dense(128, name="concat_back_dim3d")(
             jnp.concatenate([up, hx3], -1))
-        hx3d = MU(128, 64, 128, 5, name="stage3d")(up, train=train)
+        hx3d = MU(128, 64, 128, 5, name="stage3d")(up, train)
         up = PatchExpand(128, 2, name="patch_expand2d")(hx3d)          # 64 @ /2
         up = nn.Dense(64, name="concat_back_dim2d")(
             jnp.concatenate([up, hx2], -1))
-        hx2d = MU(64, 32, 64, 6, name="stage2d")(up, train=train)
+        hx2d = MU(64, 32, 64, 6, name="stage2d")(up, train)
         up = PatchExpand(64, 2, name="patch_expand1d")(hx2d)           # 32 @ /1
         up = nn.Dense(32, name="concat_back_dim1d")(
             jnp.concatenate([up, hx1], -1))
-        hx1d = MU(32, 16, 32, 7, name="stage1d")(up, train=train)
+        hx1d = MU(32, 16, 32, 7, name="stage1d")(up, train)
 
         # ------------------------------ heads (native resolutions)
         d1 = nn.Conv(self.num_classes, (3, 3), padding="SAME", name="side1")(hx1d)
@@ -95,18 +108,20 @@ class M2Net(nn.Module):
 class M2NetP(nn.Module):
     num_classes: int
     deep_supervision: bool = True
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         full_res = x.shape[1:3]
+        MU, RSU4F = _stage_blocks(self.remat)
 
-        hx1 = MU(x.shape[-1], 16, 64, 7, name="stage1")(x, train=train)
+        hx1 = MU(x.shape[-1], 16, 64, 7, name="stage1")(x, train)
         hx = PatchMerging2D(64, 2, output_features=64, name="patch_merging1")(hx1)
-        hx2 = MU(64, 16, 64, 6, name="stage2")(hx, train=train)
+        hx2 = MU(64, 16, 64, 6, name="stage2")(hx, train)
         hx = PatchMerging2D(64, 2, output_features=64, name="patch_merging2")(hx2)
-        hx3 = MU(64, 16, 64, 5, name="stage3")(hx, train=train)
+        hx3 = MU(64, 16, 64, 5, name="stage3")(hx, train)
         hx = PatchMerging2D(64, 2, output_features=64, name="patch_merging3")(hx3)
-        hx4 = MU(64, 16, 64, 4, name="stage4")(hx, train=train)
+        hx4 = MU(64, 16, 64, 4, name="stage4")(hx, train)
         hx = PatchMerging2D(64, 2, output_features=64, name="patch_merging4")(hx4)
         hx5 = RSU4F(16, 64, name="stage5")(hx)
         hx = _maxpool2_ceil(hx5)
@@ -116,16 +131,16 @@ class M2NetP(nn.Module):
         hx5d = RSU4F(16, 128, name="stage5d")(jnp.concatenate([hx6up, hx5], -1))
         up = PatchExpand(128, 2, name="patch_expand4d")(hx5d)          # 64 ch
         hx4d = MU(128, 16, 128, 4, name="stage4d")(
-            jnp.concatenate([up, hx4], -1), train=train)
+            jnp.concatenate([up, hx4], -1), train)
         up = PatchExpand(128, 2, name="patch_expand3d")(hx4d)
         hx3d = MU(128, 16, 128, 5, name="stage3d")(
-            jnp.concatenate([up, hx3], -1), train=train)
+            jnp.concatenate([up, hx3], -1), train)
         up = PatchExpand(128, 2, name="patch_expand2d")(hx3d)
         hx2d = MU(128, 16, 128, 6, name="stage2d")(
-            jnp.concatenate([up, hx2], -1), train=train)
+            jnp.concatenate([up, hx2], -1), train)
         up = PatchExpand(128, 2, name="patch_expand1d")(hx2d)
         hx1d = MU(128, 16, 128, 7, name="stage1d")(
-            jnp.concatenate([up, hx1], -1), train=train)
+            jnp.concatenate([up, hx1], -1), train)
 
         d1 = nn.Conv(self.num_classes, (3, 3), padding="SAME", name="side1")(hx1d)
         d2 = nn.Conv(self.num_classes, (3, 3), padding="SAME", name="side2")(hx2d)
@@ -145,12 +160,24 @@ class M2NetP(nn.Module):
 
 def get_m2net_from_plans(plans_manager, dataset_json, configuration_manager,
                          num_input_channels, deep_supervision=True,
-                         dtype=None, small=False):
+                         dtype=None, small=False, remat=None):
     label_manager = plans_manager.get_label_manager(dataset_json)
     assert len(configuration_manager.patch_size) == 2, "M2Net is 2D-only"
     cls = M2NetP if small else M2Net
+    if remat is None:
+        # auto: remat the stages when the per-step activation volume is large
+        # enough to threaten 16 GB HBM (canonical 256x224 b12 needs it)
+        import os
+        env = os.environ.get("NNUZOO_REMAT", "auto")
+        if env in ("0", "1"):
+            remat = env == "1"
+        else:
+            import numpy as _np
+            voxels = configuration_manager.batch_size * int(
+                _np.prod(configuration_manager.patch_size))
+            remat = voxels >= 300_000
     return cls(num_classes=label_manager.num_segmentation_heads,
-               deep_supervision=deep_supervision)
+               deep_supervision=deep_supervision, remat=remat)
 
 
 register_model("nnUNetTrainerM2Net", get_m2net_from_plans)

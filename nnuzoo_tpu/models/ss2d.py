@@ -13,7 +13,7 @@ Backend selection: ``NNUZOO_SCAN_BACKEND`` env (pallas|xla|ref) or auto
 
 import math
 import os
-from typing import Optional
+from typing import Optional, Tuple, Union
 
 import flax.linen as nn
 import jax
@@ -25,6 +25,14 @@ from ..ops.selective_scan import selective_scan, selective_scan_blkd
 
 def scan_backend() -> Optional[str]:
     return os.environ.get("NNUZOO_SCAN_BACKEND") or None
+
+
+def centered_uniform(scale):
+    """U(-scale, scale) initializer (param value == effective weight; the
+    previous shift-after-param pattern broke pretrained weight transfer)."""
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -scale, scale)
+    return init
 
 
 def dt_bias_init(dt_min=0.001, dt_max=0.1, dt_init_floor=1e-4):
@@ -89,10 +97,8 @@ class SS2D(nn.Module):
 
         dt_std = dt_rank ** -0.5
         dt_projs_weight = self.param(
-            "dt_projs_weight", nn.initializers.uniform(scale=2 * dt_std),
+            "dt_projs_weight", centered_uniform(dt_std),
             (K, d_inner, dt_rank))
-        # uniform(scale) gives [0, scale); shift to [-std, std)
-        dt_projs_weight = dt_projs_weight - dt_std
         dt_projs_bias = self.param("dt_projs_bias", dt_bias_init(), (K, d_inner))
 
         dts = jnp.einsum("blkr,kdr->blkd", dts, dt_projs_weight)
@@ -126,26 +132,35 @@ class SS2D(nn.Module):
 
 
 class VSSBlock(nn.Module):
-    """LN -> SS2D -> residual (reference `m2net.py:515-535`). DropPath omitted
-    (rate 0.2 linearly decayed; stochastic depth contributes little at these
-    depths and would add PRNG plumbing -- revisit if Dice parity demands)."""
+    """LN -> SS2D -> DropPath -> residual (reference `m2net.py:515-535`:
+    ``input + drop_path(self_attention(ln_1(input)))``)."""
     hidden_dim: int
     d_state: int = 16
+    drop_path: float = 0.0
 
     @nn.compact
     def __call__(self, x, train: bool = True):
-        return x + SS2D(d_model=self.hidden_dim, d_state=self.d_state,
-                        name="self_attention")(
+        from .layers import DropPath
+        branch = SS2D(d_model=self.hidden_dim, d_state=self.d_state,
+                      name="self_attention")(
             nn.LayerNorm(epsilon=1e-6, name="ln_1")(x), train=train)
+        return x + DropPath(self.drop_path, name="drop_path")(
+            branch, deterministic=not train)
 
 
 class VSSLayer(nn.Module):
+    """Stack of VSSBlocks; ``drop_path`` is either one rate for all blocks or a
+    per-block tuple (the reference passes a linspace slice per layer)."""
     dim: int
     depth: int
     d_state: int = 16
+    drop_path: Union[float, Tuple[float, ...]] = 0.0
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         for i in range(self.depth):
-            x = VSSBlock(self.dim, self.d_state, name=f"block{i}")(x, train=train)
+            dp = self.drop_path[i] if isinstance(self.drop_path, (tuple, list)) \
+                else self.drop_path
+            x = VSSBlock(self.dim, self.d_state, dp,
+                         name=f"block{i}")(x, train=train)
         return x

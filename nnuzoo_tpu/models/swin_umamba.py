@@ -22,13 +22,20 @@ class _VSSMBackbone(nn.Module):
     depths: Sequence[int] = (2, 2, 9, 2)
     dims: Sequence[int] = (96, 192, 384, 768)
     patch_size: int = 2
+    drop_path_rate: float = 0.2  # reference `SwinUMamba.py:369`
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         outs = [x]
         h = PatchEmbed2D(self.patch_size, self.dims[0], name="patch_embed")(x)
+        total = sum(self.depths)
+        dpr = [self.drop_path_rate * j / max(1, total - 1)
+               for j in range(total)]
         for i, depth in enumerate(self.depths):
-            h = VSSLayer(self.dims[i], depth, name=f"layer{i}")(h, train=train)
+            lo = sum(self.depths[:i])
+            h = VSSLayer(self.dims[i], depth,
+                         drop_path=tuple(dpr[lo:lo + depth]),
+                         name=f"layer{i}")(h, train=train)
             outs.append(h)
             if i < len(self.depths) - 1:
                 h = PatchMerging2D(self.dims[i], 2, self.dims[i + 1],
@@ -131,3 +138,104 @@ register_model("nnUNetTrainerSwinUMamba", get_swin_umamba_from_plans)
 register_model("nnUNetTrainerSwinUMambaD",
                lambda *a, **k: get_swin_umamba_from_plans(*a, **k,
                                                           mamba_decoder=True))
+
+
+def load_vmamba_pretrained(params: dict, ckpt_path: str, verbose: bool = True):
+    """Transfer ImageNet-pretrained VMamba weights into the SwinUMamba(D)
+    vssm_encoder (reference `SwinUMamba.py:637-668` ``load_pretrained_ckpt``).
+
+    Maps torch ``layers.{i}.blocks.{j}.*`` / ``layers.{i}.downsample.*`` keys
+    onto the flax ``vssm_encoder/layer{i}/block{j}`` / ``down{i}`` tree with
+    layout conversion (Linear transpose, depthwise-conv HWIO). Skips
+    patch_embed / final norm / head like the reference. Returns (new_params,
+    number of transferred tensors).
+    """
+    import numpy as np
+    import torch
+
+    ckpt = torch.load(ckpt_path, map_location="cpu", weights_only=False)
+    sd = ckpt.get("model", ckpt)
+
+    inner = params["params"] if "params" in params else params
+    enc = inner.get("vssm_encoder")
+    assert enc is not None, "params has no vssm_encoder subtree"
+
+    skip_prefixes = ("patch_embed.", "norm.", "head.")
+
+    def to_np(t):
+        return np.asarray(t.detach().cpu().numpy())
+
+    n_loaded = 0
+
+    def put(dst: dict, leaf: str, value, key: str):
+        nonlocal n_loaded
+        assert leaf in dst, f"{key}: flax leaf {leaf} missing"
+        assert dst[leaf].shape == value.shape, (
+            f"{key}: shape mismatch {value.shape} vs {dst[leaf].shape}")
+        dst[leaf] = value.astype(dst[leaf].dtype)
+        n_loaded += 1
+
+    import copy
+    enc = copy.deepcopy(enc)
+    for key, v in sd.items():
+        if any(key.startswith(p) for p in skip_prefixes):
+            continue
+        parts = key.split(".")
+        if parts[0] != "layers":
+            if verbose:
+                print(f"passing: {key}")
+            continue
+        i = int(parts[1])
+        v = to_np(v)
+        if parts[2] == "downsample":
+            down = enc.get(f"down{i}")
+            if down is None:
+                continue
+            if parts[3] == "norm":
+                put(down["norm"], "scale" if parts[4] == "weight" else "bias",
+                    v, key)
+            elif parts[3] == "reduction":
+                put(down["reduction"], "kernel", v.T, key)
+            continue
+        if parts[2] != "blocks":
+            if verbose:
+                print(f"passing: {key}")
+            continue
+        j = int(parts[3])
+        blk = enc.get(f"layer{i}", {}).get(f"block{j}")
+        if blk is None:
+            continue
+        rest = parts[4:]
+        if rest[0] == "ln_1":
+            put(blk["ln_1"], "scale" if rest[1] == "weight" else "bias", v, key)
+        elif rest[0] == "self_attention":
+            sa = blk["self_attention"]
+            sub = rest[1]
+            if sub == "in_proj":
+                put(sa["in_proj"], "kernel", v.T, key)
+            elif sub == "out_proj":
+                put(sa["out_proj"], "kernel", v.T, key)
+            elif sub == "conv2d":
+                if rest[2] == "weight":
+                    # torch depthwise (D, 1, kh, kw) -> flax HWIO (kh, kw, 1, D)
+                    put(sa["conv2d"], "kernel", v.transpose(2, 3, 1, 0), key)
+                else:
+                    put(sa["conv2d"], "bias", v, key)
+            elif sub == "out_norm":
+                put(sa["out_norm"], "scale" if rest[2] == "weight" else "bias",
+                    v, key)
+            elif sub in ("x_proj_weight", "dt_projs_weight", "dt_projs_bias",
+                         "A_logs", "Ds"):
+                put(sa, sub, v, key)
+            elif verbose:
+                print(f"passing: {key}")
+        elif verbose:
+            print(f"passing: {key}")
+
+    new_inner = dict(inner)
+    new_inner["vssm_encoder"] = enc
+    out = dict(params)
+    if "params" in params:
+        out["params"] = new_inner
+        return out, n_loaded
+    return new_inner, n_loaded

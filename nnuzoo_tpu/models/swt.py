@@ -25,12 +25,15 @@ class SwinStage(nn.Module):
     depth: int
     num_heads: int
     window: int = 7
+    drop_path: tuple = ()
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         for i in range(self.depth):
+            dp = self.drop_path[i] if i < len(self.drop_path) else 0.0
             x = SwinBlock(self.num_heads, self.window,
                           shift=0 if i % 2 == 0 else self.window // 2,
+                          drop_path=dp,
                           name=f"block{i}")(x, train=train)
         return x
 
@@ -43,16 +46,25 @@ class SwinTransformerUnet(nn.Module):
     window: int = 7
     patch: int = 4
     deep_supervision: bool = False
+    drop_path_rate: float = 0.1  # reference `swt.py:32` linspace schedule
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         dims = [self.embed_dim * 2 ** i for i in range(len(self.depths))]
         h = PatchEmbed2D(self.patch, self.embed_dim, name="patch_embed")(x)
 
+        total = sum(self.depths)
+        dpr = [self.drop_path_rate * j / max(1, total - 1)
+               for j in range(total)]
+
+        def stage_dpr(i):
+            lo = sum(self.depths[:i])
+            return tuple(dpr[lo:lo + self.depths[i]])
+
         skips = []
         for i, depth in enumerate(self.depths):
             h = SwinStage(dims[i], depth, self.num_heads[i], self.window,
-                          name=f"enc{i}")(h, train=train)
+                          stage_dpr(i), name=f"enc{i}")(h, train=train)
             skips.append(h)
             if i < len(self.depths) - 1:
                 h = PatchMerging2D(dims[i], 2, dims[i + 1], name=f"down{i}")(h)
@@ -63,7 +75,8 @@ class SwinTransformerUnet(nn.Module):
             h = jnp.concatenate([h, skips[i]], -1)
             h = nn.Dense(dims[i], name=f"concat_back{i}")(h)
             h = SwinStage(dims[i], self.depths[i], self.num_heads[i],
-                          self.window, name=f"dec{i}")(h, train=train)
+                          self.window, stage_dpr(i),
+                          name=f"dec{i}")(h, train=train)
 
         # final patch-size upsample back to input resolution
         h = PatchExpand(dims[0], self.patch, output_dim=None, name="final_expand")(h)
@@ -76,13 +89,16 @@ class SwinStageND(nn.Module):
     depth: int
     num_heads: int
     window: int = 7
+    drop_path: tuple = ()
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         from .attention import SwinBlockND
         for i in range(self.depth):
+            dp = self.drop_path[i] if i < len(self.drop_path) else 0.0
             x = SwinBlockND(self.num_heads, self.window,
                             shift=0 if i % 2 == 0 else self.window // 2,
+                            drop_path=dp,
                             name=f"block{i}")(x, train=train)
         return x
 

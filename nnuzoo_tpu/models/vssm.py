@@ -84,6 +84,7 @@ class VSSMEncoder(nn.Module):
     skip_last_downsample: bool = False
     add_last: bool = False
     out_ch: Optional[int] = None
+    drop_path_rate: float = 0.0
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -96,8 +97,14 @@ class VSSMEncoder(nn.Module):
 
         x = PatchEmbed2D(self.patch_size, self.dims[0], name="patch_embed")(x)
         n = len(self.depths)
+        # stochastic-depth decay: 0 -> rate over the encoder blocks
+        # (reference `m2net.py:628`)
+        total = sum(self.depths)
+        dpr = [self.drop_path_rate * j / max(1, total - 1) for j in range(total)]
         for i in range(n):
+            lo = sum(self.depths[:i])
             x = VSSLayer(self.dims[i], self.depths[i], self.d_state,
+                         tuple(dpr[lo:lo + self.depths[i]]),
                          name=f"layer{i}")(x, train=train)
             skips.append(x)
             is_last_down = i == n - 2
@@ -115,12 +122,17 @@ class VSSMDecoder(nn.Module):
     d_state: int = 16
     skip_first_expand: bool = False
     patch_size: int = 4
+    drop_path_rate: float = 0.0
 
     @nn.compact
     def __call__(self, skips, train: bool = True):
         feats = self.features_per_stage
         n = len(feats)
         x = skips[-1]
+        # decoder stochastic depth decays rate -> 0 toward full resolution
+        # (reference `m2net.py:397`)
+        dpr = [self.drop_path_rate * (n - 1 - s) / max(1, n - 2)
+               for s in range(n - 1)] if n > 1 else []
         for s in range(1, n):
             below = feats[-s]
             skip_f = feats[-(s + 1)]
@@ -129,8 +141,8 @@ class VSSMDecoder(nn.Module):
                                 name=f"expand{s - 1}")(x)
             x = jnp.concatenate([x, skips[-(s + 1)]], -1)
             x = nn.Dense(skip_f, name=f"concat_back_dim{s - 1}")(x)
-            x = VSSLayer(skip_f, 1, self.d_state, name=f"stage{s - 1}")(x,
-                                                                        train=train)
+            x = VSSLayer(skip_f, 1, self.d_state, dpr[s - 1],
+                         name=f"stage{s - 1}")(x, train=train)
         x = PatchExpand(feats[0], self.patch_size, output_dim=None,
                         name=f"expand{n - 1}")(x) if self.patch_size > 1 else \
             PatchExpand(feats[0], 1, output_dim=None, name=f"expand{n - 1}")(x)
@@ -148,6 +160,7 @@ class MU(nn.Module):
     patch_size: int = 1
     add_last: bool = True
     d_state: int = 16
+    drop_path_rate: float = 0.2  # reference `m2net.py:732,739`
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -156,11 +169,13 @@ class MU(nn.Module):
             patch_size=self.patch_size, depths=[1] * self.n_layers, dims=feats,
             d_state=self.d_state, skip_last_downsample=self.skip_last_downsample,
             add_last=self.add_last, out_ch=self.out_ch if self.add_last else None,
+            drop_path_rate=self.drop_path_rate,
             name="vssm_encoder")(x, train=train)
         out = VSSMDecoder(
             num_classes=self.out_ch, features_per_stage=feats,
             d_state=self.d_state, skip_first_expand=self.skip_last_downsample,
-            patch_size=self.patch_size, name="vssm_decoder")(skips[1:], train=train)
+            patch_size=self.patch_size, drop_path_rate=self.drop_path_rate,
+            name="vssm_decoder")(skips[1:], train=train)
         if self.add_last:
             out = out + skips[0]
         return out

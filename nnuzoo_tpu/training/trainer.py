@@ -343,12 +343,47 @@ class Trainer:
                 lambda p: p.astype(jnp.bfloat16)
                 if p.dtype == jnp.float32 else p, params)
 
+        if self.target_type == "ssl":
+            # MAE epoch: image-only augmentation, the model masks input windows
+            # and returns (reconstruction loss, recon, mask)
+            # (reference hooks `nnUNetTrainer.py:114,1491-1516`,
+            # `data_loader.py:188-236`, `u2net_multi.py:560-632`)
+            def ssl_train_step(state, data, seg, key):
+                aug_key, mask_key, drop_key = jax.random.split(key, 3)
+                data_aug, _ = augment_train_batch(train_cfg, aug_key, data, None)
+
+                def loss_fn(params):
+                    loss, _, _ = model.apply(
+                        cast_params(params), to_cl(data_aug), train=True,
+                        rngs={"mask": mask_key, "dropout": drop_key})
+                    return loss.astype(jnp.float32)
+
+                loss, grads = jax.value_and_grad(loss_fn)(state["params"])
+                updates, new_opt = tx.update(grads, state["opt_state"],
+                                             state["params"])
+                new_params = optax.apply_updates(state["params"], updates)
+                return {"params": new_params, "opt_state": new_opt,
+                        "step": state["step"] + 1}, loss
+
+            def ssl_val_step(params, data, seg):
+                loss, _, _ = model.apply(
+                    cast_params(params), to_cl(data), train=False,
+                    rngs={"mask": jax.random.PRNGKey(0)})
+                zero = jnp.zeros((1,))
+                return loss.astype(jnp.float32), zero, zero, zero
+
+            self._train_step_fn = jax.jit(ssl_train_step, donate_argnums=(0,))
+            self._val_step_fn = jax.jit(ssl_val_step)
+            return
+
         def train_step(state, data, seg, key):
-            data_aug, targets = augment_train_batch(train_cfg, key, data, seg)
+            aug_key, drop_key = jax.random.split(key)
+            data_aug, targets = augment_train_batch(train_cfg, aug_key, data, seg)
 
             def loss_fn(params):
                 outputs = model.apply(cast_params(params), to_cl(data_aug),
-                                      train=True)
+                                      train=True,
+                                      rngs={"dropout": drop_key})
                 outputs = [o.astype(jnp.float32) for o in outputs]
                 return self._compute_loss(outputs, targets)
 
@@ -478,8 +513,8 @@ class Trainer:
             tps.append(np.asarray(tp))
             fps.append(np.asarray(fp))
             fns.append(np.asarray(fn))
-        if self.target_type == "translation":
-            # no dice for regression; track -val_loss so EMA 'best' still works
+        if self.target_type in ("translation", "ssl"):
+            # no dice for regression/MAE; track -val_loss so EMA 'best' works
             return float(np.mean(losses)), np.array([-float(np.mean(losses))])
         tp, fp, fn = np.sum(tps, 0), np.sum(fps, 0), np.sum(fns, 0)
         global_dc_per_class = 2 * tp / np.clip(2 * tp + fp + fn, 1e-8, None)
@@ -593,6 +628,16 @@ class Trainer:
         from ..evaluation.metrics import compute_metrics_on_folder
         from ..inference.export import export_prediction_from_logits
         from ..inference.predictor import Predictor
+
+        if self.target_type == "ssl":
+            # MAE pretraining has no segmentation to export/evaluate
+            # (reference falls through to log_qualitative_step,
+            # `nnUNetTrainer.py:1515-1516`)
+            self.print_to_log_file(
+                "target_type=ssl: skipping final validation (no labels); "
+                "use the checkpoint with load_pretrained_weights for "
+                "fine-tuning")
+            return {}
 
         predictor = Predictor(tile_step_size=0.5, use_gaussian=True,
                               use_mirroring=True,

@@ -90,3 +90,76 @@ def test_registry_resolves():
     assert b3 is b
     with pytest.raises(RuntimeError, match="No model registered"):
         get_model_builder("nnUNetTrainerDoesNotExist")
+
+
+class TestDropPathAndShiftMasks:
+    def test_drop_path_stochastic_and_identity(self):
+        from nnuzoo_tpu.models.layers import DropPath
+        x = jnp.ones((64, 4, 4, 2))
+        dp = DropPath(0.5)
+        params = dp.init(jax.random.PRNGKey(0), x)
+        # deterministic -> identity
+        np.testing.assert_array_equal(dp.apply(params, x, True), x)
+        # no rng supplied -> identity (graceful degradation)
+        np.testing.assert_array_equal(dp.apply(params, x, False), x)
+        # train + rng -> per-sample drop with 1/(1-p) rescale
+        y = dp.apply(params, x, False, rngs={"dropout": jax.random.PRNGKey(1)})
+        y = np.asarray(y)
+        per_sample = y.reshape(64, -1)
+        dropped = (per_sample == 0).all(1)
+        kept = (per_sample == 2.0).all(1)
+        assert (dropped | kept).all()
+        assert dropped.any() and kept.any()
+        # expectation preserved roughly
+        assert abs(y.mean() - 1.0) < 0.3
+
+    def test_shift_mask_nd_matches_2d(self):
+        from nnuzoo_tpu.models.attention import (_shift_attn_mask,
+                                                 _shift_attn_mask_nd)
+        m2d = _shift_attn_mask(8, 8, 4, 2)
+        mnd = _shift_attn_mask_nd((8, 8), (4, 4), (2, 2))
+        np.testing.assert_array_equal(np.asarray(m2d), np.asarray(mnd))
+        assert m2d.shape == (4, 16, 16)
+        assert set(np.unique(np.asarray(m2d))) <= {0.0, -100.0}
+
+    def test_shift_mask_3d(self):
+        from nnuzoo_tpu.models.attention import _shift_attn_mask_nd
+        m = _shift_attn_mask_nd((8, 8, 8), (4, 4, 4), (2, 2, 2))
+        m = np.asarray(m)
+        assert m.shape == (8, 64, 64)
+        # diagonal (self-attention) is never masked
+        for w in range(8):
+            np.testing.assert_array_equal(np.diag(m[w]), 0.0)
+        # the corner window mixes all 8 regions -> has masked pairs
+        assert (m[-1] == -100.0).any()
+        # unshifted axis contributes no bands
+        m_partial = _shift_attn_mask_nd((8, 8, 8), (4, 4, 4), (2, 0, 0))
+        assert (np.asarray(m_partial)[0] == 0).all()
+
+    def test_swinblock_nd_3d_shifted_runs(self):
+        from nnuzoo_tpu.models.attention import SwinBlockND
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.rand(1, 8, 8, 8, 16).astype(np.float32))
+        blk_shift = SwinBlockND(num_heads=2, window=4, shift=2)
+        p = blk_shift.init(jax.random.PRNGKey(0), x)
+        y = blk_shift.apply(p, x, train=False)
+        assert y.shape == x.shape
+        assert np.isfinite(np.asarray(y)).all()
+        # shifted block differs from unshifted with identical params
+        blk_plain = SwinBlockND(num_heads=2, window=4, shift=0)
+        y0 = blk_plain.apply(p, x, train=False)
+        assert not np.allclose(np.asarray(y), np.asarray(y0))
+
+    def test_vssblock_droppath_train_stochastic(self):
+        from nnuzoo_tpu.models.ss2d import VSSBlock
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.rand(4, 8, 8, 8).astype(np.float32))
+        blk = VSSBlock(hidden_dim=8, drop_path=0.5)
+        p = blk.init(jax.random.PRNGKey(0), x)
+        y1 = blk.apply(p, x, True, rngs={"dropout": jax.random.PRNGKey(1)})
+        y2 = blk.apply(p, x, True, rngs={"dropout": jax.random.PRNGKey(2)})
+        assert not np.allclose(np.asarray(y1), np.asarray(y2))
+        # eval mode is deterministic and rng-free
+        ye1 = blk.apply(p, x, False)
+        ye2 = blk.apply(p, x, False)
+        np.testing.assert_array_equal(np.asarray(ye1), np.asarray(ye2))
