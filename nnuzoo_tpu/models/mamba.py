@@ -62,11 +62,10 @@ class _ScanBranch(nn.Module):
                          name="x_proj")(x)
         dt, Bmat, Cmat = jnp.split(x_dbl, [self.dt_rank,
                                            self.dt_rank + self.d_state], -1)
+        from .ss2d import centered_uniform
         dt_std = self.dt_rank ** -0.5
-        dt_w = self.param("dt_proj_weight",
-                          nn.initializers.uniform(scale=2 * dt_std),
+        dt_w = self.param("dt_proj_weight", centered_uniform(dt_std),
                           (self.d_inner, self.dt_rank))
-        dt_w = dt_w - dt_std
         dt_b = self.param("dt_proj_bias", dt_bias_init(), (self.d_inner,))
         delta = jnp.einsum("blr,dr->bld", dt, dt_w)
 
@@ -167,20 +166,30 @@ class Mamba2Block(nn.Module):
                                k, s, minval=1.0, maxval=16.0)), (nheads,))
         dt_bias = self.param("dt_bias", dt_bias_init(), (nheads,))
         D_skip = self.param("D", nn.initializers.ones, (nheads,))
-
-        # expand per-head scalars to per-channel for the kernel
         A = -jnp.exp(A_log.astype(jnp.float32))
-        A_full = jnp.repeat(A, headdim)[:, None] * jnp.ones((1, N))
-        delta = jnp.repeat(dt, headdim, axis=-1)          # (B, L, d_inner)
-        delta_bias = jnp.repeat(dt_bias, headdim)
-        D_full = jnp.repeat(D_skip, headdim)
 
-        y = selective_scan(
-            jnp.transpose(xs, (0, 2, 1)), jnp.transpose(delta, (0, 2, 1)),
-            A_full, jnp.transpose(Bmat, (0, 2, 1)),
-            jnp.transpose(Cmat, (0, 2, 1)), D=D_full, delta_bias=delta_bias,
-            delta_softplus=True, backend=scan_backend())
-        y = jnp.transpose(y, (0, 2, 1))
+        if scan_backend() == "mamba1":
+            # legacy path: express through the Mamba1 selective-scan kernel by
+            # broadcasting the per-head scalar A over channels and states
+            A_full = jnp.repeat(A, headdim)[:, None] * jnp.ones((1, N))
+            delta = jnp.repeat(dt, headdim, axis=-1)      # (B, L, d_inner)
+            delta_bias = jnp.repeat(dt_bias, headdim)
+            D_full = jnp.repeat(D_skip, headdim)
+            y = selective_scan(
+                jnp.transpose(xs, (0, 2, 1)), jnp.transpose(delta, (0, 2, 1)),
+                A_full, jnp.transpose(Bmat, (0, 2, 1)),
+                jnp.transpose(Cmat, (0, 2, 1)), D=D_full,
+                delta_bias=delta_bias, delta_softplus=True)
+            y = jnp.transpose(y, (0, 2, 1))
+        else:
+            # chunked SSD (state-space duality): the scalar-decay structure
+            # turns the scan into masked matmuls on the MXU (ops/ssd.py)
+            from ..ops.ssd import ssd_chunked
+            xh = xs.reshape(B_, L, nheads, headdim)
+            y = ssd_chunked(xh, dt, A,
+                            Bmat[:, :, None, :], Cmat[:, :, None, :],
+                            D=D_skip, dt_bias=dt_bias, chunk_size=128)
+            y = y.reshape(B_, L, d_inner)
 
         # gated RMSNorm (mamba2)
         y = y * nn.silu(z)

@@ -62,10 +62,10 @@ class SSND(nn.Module):
                                    (K, dt_rank + 2 * N, d_inner))
         x_dbl = jnp.einsum("blkd,kcd->blkc", xs, x_proj_weight)
         dts, Bs, Cs = jnp.split(x_dbl, [dt_rank, dt_rank + N], -1)
+        from .ss2d import centered_uniform
         dt_std = dt_rank ** -0.5
-        dt_w = self.param("dt_projs_weight",
-                          nn.initializers.uniform(scale=2 * dt_std),
-                          (K, d_inner, dt_rank)) - dt_std
+        dt_w = self.param("dt_projs_weight", centered_uniform(dt_std),
+                          (K, d_inner, dt_rank))
         dt_b = self.param("dt_projs_bias", dt_bias_init(), (K, d_inner))
         dts = jnp.einsum("blkr,kdr->blkd", dts, dt_w)
 
