@@ -438,7 +438,27 @@ class ExperimentPlanner:
         self.plans = load_json(fname)
 
 
-_PLANNERS = {"ExperimentPlanner": ExperimentPlanner}
+class ResEncUNetPlanner(ExperimentPlanner):
+    """Planner emitting ResidualEncoderUNet plans (reference
+    `resencUNet_planner.py:9-33`): residual encoder with 1/3/4/6/6/... blocks
+    per stage and recalibrated memory-reference constants."""
+
+    def __init__(self, dataset_name_or_id, gpu_memory_target_in_gb: float = 8,
+                 preprocessor_name: str = "DefaultPreprocessor",
+                 plans_name: str = "nnUNetResEncUNetPlans",
+                 overwrite_target_spacing=None, suppress_transpose: bool = False):
+        super().__init__(dataset_name_or_id, gpu_memory_target_in_gb,
+                         preprocessor_name, plans_name,
+                         overwrite_target_spacing, suppress_transpose)
+        self.UNet_class_name = "ResidualEncoderUNet"
+        self.UNet_reference_val_3d = 680000000
+        self.UNet_reference_val_2d = 135000000
+        self.UNet_blocks_per_stage_encoder = (1, 3, 4, 6, 6, 6, 6, 6, 6, 6, 6, 6, 6)
+        self.UNet_blocks_per_stage_decoder = (1,) * 12
+
+
+_PLANNERS = {"ExperimentPlanner": ExperimentPlanner,
+             "ResEncUNetPlanner": ResEncUNetPlanner}
 
 
 def get_planner_class_by_name(name: str):

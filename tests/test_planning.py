@@ -107,3 +107,38 @@ class TestPlanAndPreprocess:
         from nnuzoo_tpu.planning.integrity import verify_dataset_integrity
         with pytest.raises(RuntimeError, match="Unexpected labels"):
             verify_dataset_integrity(ds, num_processes=1)
+
+
+def test_resenc_planner(tmp_path):
+    """ResEncUNetPlanner emits ResidualEncoderUNet plans (reference
+    `resencUNet_planner.py:9-33`) that build and run."""
+    from .helpers import make_synthetic_dataset, set_paths
+    raw, pp, res = set_paths(tmp_path)
+    make_synthetic_dataset(raw, num_cases=4)
+    from nnuzoo_tpu.planning.api import extract_fingerprints, plan_experiments
+    from nnuzoo_tpu.utilities.io import join, load_json
+
+    extract_fingerprints([999], num_processes=1)
+    plan_experiments([999], experiment_planner_name="ResEncUNetPlanner")
+    plans = load_json(join(pp, "Dataset999_Synth", "nnUNetResEncUNetPlans.json"))
+    assert plans["plans_name"] == "nnUNetResEncUNetPlans"
+    arch = plans["configurations"]["3d_fullres"]["architecture"]
+    assert arch["network_class_name"] == "ResidualEncoderUNet"
+    enc = arch["arch_kwargs"]["n_conv_per_stage"]
+    assert list(enc)[:4] == [1, 3, 4, 6][:len(enc)]
+    assert all(b == 1 for b in arch["arch_kwargs"]["n_conv_per_stage_decoder"])
+
+    # the emitted plans build a working network
+    import jax
+    import jax.numpy as jnp
+    from nnuzoo_tpu.models.dynamic_unet import ResidualEncoderUNet
+    from nnuzoo_tpu.plans.plans_handler import PlansManager
+    pm = PlansManager(plans)
+    cfg = pm.get_configuration("2d")
+    net = ResidualEncoderUNet(
+        arch_kwargs=cfg.network_arch_init_kwargs, num_classes=3,
+        deep_supervision=True)
+    x = jnp.zeros((1, 32, 32, 1))
+    params = net.init(jax.random.PRNGKey(0), x)
+    outs = net.apply(params, x, train=False)
+    assert outs[0].shape[:3] == (1, 32, 32)

@@ -172,3 +172,70 @@ class TestSwin3D:
         x = jnp.asarray(rng.rand(1, 32, 32, 32, 1).astype(np.float32))
         outs = _run(m, x)
         assert outs[0].shape == (1, 32, 32, 32, 2)
+
+
+def test_vmamba_pretrained_transfer(tmp_path):
+    """load_vmamba_pretrained maps torch VMamba keys onto the flax
+    vssm_encoder (reference `SwinUMamba.py:637-668`)."""
+    import torch
+    import jax
+    import jax.numpy as jnp
+    from nnuzoo_tpu.models.swin_umamba import (SwinUMamba,
+                                               load_vmamba_pretrained)
+
+    model = SwinUMamba(num_classes=2, deep_supervision=False)
+    x = jnp.zeros((1, 64, 64, 1))
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+
+    enc = params["params"]["vssm_encoder"]
+    rng = np.random.RandomState(0)
+
+    # fabricate a VMamba-style torch checkpoint from the flax shapes
+    sd = {}
+    blk = enc["layer0"]["block0"]
+    sa = blk["self_attention"]
+    sd["layers.0.blocks.0.ln_1.weight"] = torch.from_numpy(
+        rng.rand(*blk["ln_1"]["scale"].shape).astype(np.float32))
+    sd["layers.0.blocks.0.self_attention.in_proj.weight"] = torch.from_numpy(
+        rng.rand(*sa["in_proj"]["kernel"].shape[::-1]).astype(np.float32))
+    kh, kw, one, d = sa["conv2d"]["kernel"].shape
+    sd["layers.0.blocks.0.self_attention.conv2d.weight"] = torch.from_numpy(
+        rng.rand(d, one, kh, kw).astype(np.float32))
+    sd["layers.0.blocks.0.self_attention.A_logs"] = torch.from_numpy(
+        rng.rand(*sa["A_logs"].shape).astype(np.float32))
+    sd["layers.0.blocks.0.self_attention.dt_projs_weight"] = torch.from_numpy(
+        rng.rand(*sa["dt_projs_weight"].shape).astype(np.float32))
+    red = enc["down0"]["reduction"]["kernel"]
+    sd["layers.0.downsample.reduction.weight"] = torch.from_numpy(
+        rng.rand(*red.shape[::-1]).astype(np.float32))
+    # keys the reference skips
+    sd["patch_embed.proj.weight"] = torch.zeros(96, 3, 4, 4)
+    sd["head.weight"] = torch.zeros(1000, 768)
+
+    ckpt_path = str(tmp_path / "vmamba_tiny.pth")
+    torch.save({"model": sd}, ckpt_path)
+
+    new_params, n = load_vmamba_pretrained(params, ckpt_path, verbose=False)
+    assert n == 6
+    new_enc = new_params["params"]["vssm_encoder"]
+    nblk = new_enc["layer0"]["block0"]
+    np.testing.assert_allclose(
+        np.asarray(nblk["ln_1"]["scale"]),
+        sd["layers.0.blocks.0.ln_1.weight"].numpy())
+    np.testing.assert_allclose(          # Linear transpose
+        np.asarray(nblk["self_attention"]["in_proj"]["kernel"]),
+        sd["layers.0.blocks.0.self_attention.in_proj.weight"].numpy().T)
+    np.testing.assert_allclose(          # depthwise conv layout
+        np.asarray(nblk["self_attention"]["conv2d"]["kernel"]),
+        sd["layers.0.blocks.0.self_attention.conv2d.weight"]
+        .numpy().transpose(2, 3, 1, 0))
+    np.testing.assert_allclose(
+        np.asarray(new_enc["down0"]["reduction"]["kernel"]),
+        sd["layers.0.downsample.reduction.weight"].numpy().T)
+    # untouched tensors stay identical
+    np.testing.assert_array_equal(
+        np.asarray(nblk["self_attention"]["Ds"]),
+        np.asarray(enc["layer0"]["block0"]["self_attention"]["Ds"]))
+    # model still runs with the transferred params
+    out = model.apply(new_params, x, train=False)
+    assert np.isfinite(np.asarray(out[0])).all()
