@@ -215,3 +215,122 @@ class NiftiIO(BaseReaderWriter):
         spacing_xyz = spacing[::-1] if spacing is not None else None
         write_nifti(output_fname, seg.transpose(2, 1, 0), spacing_xyz=spacing_xyz,
                     header_bytes=header)
+
+
+# -------------------------------------------------------------- reorient-to-RAS
+def _affine_from_header(hdr: bytes) -> np.ndarray:
+    """4x4 voxel->world affine from a (little-endian) NIfTI-1 header: sform if
+    sform_code > 0, else qform, else diagonal spacing."""
+    pixdim = struct.unpack("<8f", hdr[76:108])
+    sform_code = struct.unpack("<h", hdr[254:256])[0]
+    if sform_code > 0:
+        rows = [struct.unpack("<4f", hdr[o:o + 16]) for o in (280, 296, 312)]
+        return np.array(list(rows) + [(0.0, 0.0, 0.0, 1.0)], dtype=np.float64)
+    qform_code = struct.unpack("<h", hdr[252:254])[0]
+    aff = np.diag([abs(pixdim[1]) or 1.0, abs(pixdim[2]) or 1.0,
+                   abs(pixdim[3]) or 1.0, 1.0])
+    if qform_code > 0:
+        b, c, d = struct.unpack("<3f", hdr[256:268])
+        off = struct.unpack("<3f", hdr[268:280])
+        a = max(0.0, 1.0 - b * b - c * c - d * d) ** 0.5
+        R = np.array([
+            [a * a + b * b - c * c - d * d, 2 * (b * c - a * d), 2 * (b * d + a * c)],
+            [2 * (b * c + a * d), a * a + c * c - b * b - d * d, 2 * (c * d - a * b)],
+            [2 * (b * d - a * c), 2 * (c * d + a * b), a * a + d * d - b * b - c * c],
+        ])
+        qfac = -1.0 if pixdim[0] == -1.0 else 1.0
+        spac = np.array([abs(pixdim[1]) or 1.0, abs(pixdim[2]) or 1.0,
+                         (abs(pixdim[3]) or 1.0) * qfac])
+        aff[:3, :3] = R * spac[None, :]
+        aff[:3, 3] = off
+    return aff
+
+
+def _orientation_ops(affine: np.ndarray):
+    """(perm, flips): data axis perm[i] (after flips) becomes output axis i,
+    such that output axes point along +R, +A, +S (nearest-axis approximation,
+    same as nibabel ``io_orientation`` for orthogonal affines)."""
+    R = affine[:3, :3].copy()
+    perm = [-1, -1, -1]
+    flips = [False, False, False]
+    used = set()
+    # greedy assignment by magnitude keeps this well-defined for oblique affines
+    order = np.dstack(np.unravel_index(np.argsort(-np.abs(R), axis=None),
+                                       R.shape))[0]
+    for i, j in order:                     # world axis i <- data axis j
+        i, j = int(i), int(j)
+        if perm[i] != -1 or j in used:
+            continue
+        perm[i] = j
+        used.add(j)
+        flips[i] = R[i, j] < 0
+    return perm, flips
+
+
+def reorient_xyz_to_ras(data_xyz: np.ndarray, affine: np.ndarray):
+    """Reorient an on-disk (x, y, z) array so axes point +R, +A, +S. Returns
+    (reoriented, op) where op = (perm, flips) is needed to invert."""
+    perm, flips = _orientation_ops(affine)
+    out = np.transpose(data_xyz, perm)
+    for ax, f in enumerate(flips):
+        if f:
+            out = np.flip(out, axis=ax)
+    return out, (perm, flips)
+
+
+def revert_ras_orientation(data_ras: np.ndarray, op) -> np.ndarray:
+    """Inverse of :func:`reorient_xyz_to_ras`."""
+    perm, flips = op
+    out = data_ras
+    for ax, f in enumerate(flips):
+        if f:
+            out = np.flip(out, axis=ax)
+    inv = np.argsort(np.asarray(perm))
+    return np.ascontiguousarray(np.transpose(out, inv))
+
+
+class NiftiIOWithReorient(NiftiIO):
+    """NIfTI reader that reorients every volume to RAS before handing it to the
+    pipeline and restores the original orientation on write (reference
+    `nnunetv2/imageio/nibabel_reader_writer.py` NibabelIOWithReorient /
+    ``as_closest_canonical``). Needed for datasets with mixed orientations
+    (e.g. KiTS/AutoPET via NibabelIOWithReorient in the reference converters)."""
+
+    def read_images(self, image_fnames):
+        images, spacings, infos, ops = [], [], [], []
+        for f in image_fnames:
+            data, info = read_nifti(f)
+            if data.ndim == 2:
+                data = data[:, :, None]
+            assert data.ndim == 3, f"{f}: expected 3D, got {data.shape}"
+            affine = _affine_from_header(info["header_bytes"])
+            data_ras, op = reorient_xyz_to_ras(data, affine)
+            perm, _ = op
+            sp_xyz = info["spacing_xyz"]
+            sp_ras = [sp_xyz[perm[i]] for i in range(3)]
+            images.append(np.ascontiguousarray(data_ras.transpose(2, 1, 0)))
+            spacings.append(sp_ras[::-1])
+            infos.append(info)
+            ops.append(op)
+        if not self._check_all_same([i.shape for i in images]):
+            raise RuntimeError(f"shapes differ: {[i.shape for i in images]}")
+        if not self._check_all_same(spacings):
+            raise RuntimeError(f"spacings differ: {spacings}")
+        stacked = np.stack(images).astype(np.float32, copy=False)
+        properties = {
+            "spacing": [float(s) for s in spacings[0]],
+            "nifti_stuff": {"header_bytes": infos[0]["header_bytes"],
+                            "reorient_op": ops[0]},
+        }
+        return stacked, properties
+
+    def write_seg(self, seg, output_fname, properties):
+        assert seg.ndim == 3
+        seg = seg.astype(np.uint8 if seg.max() < 255 else np.uint16, copy=False)
+        stuff = properties.get("nifti_stuff", {})
+        op = stuff.get("reorient_op")
+        data_xyz = seg.transpose(2, 1, 0)
+        if op is not None:
+            data_xyz = revert_ras_orientation(data_xyz, op)
+        write_nifti(output_fname, data_xyz,
+                    header_bytes=stuff.get("header_bytes"))

@@ -9,18 +9,21 @@ from typing import Type
 
 from .base import BaseReaderWriter
 from .natural import NaturalImage2DIO
-from .nifti import NiftiIO
+from .nifti import NiftiIO, NiftiIOWithReorient
 from .numpy_io import NumpyIO
+from .sitk_formats import SitkFormatsIO
 from .tiff import Tiff3DIO
 
 # order matters for file-ending resolution: tif prefers Tiff3DIO like the reference
-LIST_OF_IO_CLASSES = [NaturalImage2DIO, Tiff3DIO, NiftiIO, NumpyIO]
+LIST_OF_IO_CLASSES = [NaturalImage2DIO, Tiff3DIO, NiftiIO, SitkFormatsIO, NumpyIO]
 
 _ALIASES = {
     "NiftiIO": NiftiIO,
+    "NiftiIOWithReorient": NiftiIOWithReorient,
     "SimpleITKIO": NiftiIO,
+    "SitkFormatsIO": SitkFormatsIO,
     "NibabelIO": NiftiIO,
-    "NibabelIOWithReorient": NiftiIO,
+    "NibabelIOWithReorient": NiftiIOWithReorient,
     "NaturalImage2DIO": NaturalImage2DIO,
     "Tiff3DIO": Tiff3DIO,
     "NumpyIO": NumpyIO,
