@@ -179,28 +179,38 @@ def _hillis_steele(a, b):
     return a, b
 
 
-def _expand_dirs(M, K: int, Dh: int):
-    """(T, K, N) per-direction coefficients -> (T, N, K*Dh) channel layout."""
+def _unpack_bc_lanes(M, K: int, Dh: int, N: int):
+    """(T, K*2N) packed [B_k | C_k] lane blocks -> two (T, N, K*Dh) arrays.
+
+    The packed layout keeps the B/C coefficients lane-compact in HBM: the old
+    (B, L, K, N) operand tiled as T(8,128) padded N=16 lanes to 128 (8-16x HBM
+    blowup, see the r2 OOM dump); (B, L, K*2N) is exactly 128 lanes for the
+    SS2D K=4, N=16 case."""
     T = M.shape[0]
+    b_parts, c_parts = [], []
+    for k in range(K):
+        bk = jax.lax.slice_in_dim(M, k * 2 * N, k * 2 * N + N, axis=1)  # (T, N)
+        ck = jax.lax.slice_in_dim(M, k * 2 * N + N, (k + 1) * 2 * N, axis=1)
+        b_parts.append(jnp.broadcast_to(bk[:, :, None], (T, N, Dh)))
+        c_parts.append(jnp.broadcast_to(ck[:, :, None], (T, N, Dh)))
+    return jnp.concatenate(b_parts, axis=2), jnp.concatenate(c_parts, axis=2)
+
+
+def _pack_bc_grads(dB, dC, K: int, Dh: int, N: int):
+    """Two (T, N, K*Dh) gradient tiles -> packed (T, K*2N) by summing each
+    direction's Dh lane block."""
     parts = []
     for k in range(K):
-        mk = jax.lax.slice_in_dim(M, k, k + 1, axis=1)        # (T, 1, N)
-        mk = jnp.transpose(mk, (0, 2, 1))                      # (T, N, 1)
-        parts.append(jnp.broadcast_to(mk, (T, mk.shape[1], Dh)))
-    return jnp.concatenate(parts, axis=2)                      # (T, N, K*Dh)
+        db_k = jnp.sum(jax.lax.slice_in_dim(dB, k * Dh, (k + 1) * Dh, axis=2),
+                       axis=2)                                  # (T, N)
+        dc_k = jnp.sum(jax.lax.slice_in_dim(dC, k * Dh, (k + 1) * Dh, axis=2),
+                       axis=2)
+        parts.extend([db_k, dc_k])
+    return jnp.concatenate(parts, axis=1)                       # (T, K*2N)
 
 
-def _reduce_dirs(M, K: int, Dh: int):
-    """(T, N, K*Dh) -> (T, K, N): sum each direction's Dh lane block."""
-    parts = []
-    for k in range(K):
-        mk = jax.lax.slice_in_dim(M, k * Dh, (k + 1) * Dh, axis=2)
-        parts.append(jnp.sum(mk, axis=2)[:, None, :])          # (T, 1, N)
-    return jnp.concatenate(parts, axis=1)                      # (T, K, N)
-
-
-def _fwd_kernel(u_ref, delta_ref, a_mat_ref, b_ref, c_ref, y_ref, carry_ref,
-                h_scratch, *, K: int, Dh: int):
+def _fwd_kernel(u_ref, delta_ref, a_mat_ref, bc_ref, y_ref, carry_ref,
+                h_scratch, *, K: int, Dh: int, N: int):
     l_idx = pl.program_id(1)
 
     @pl.when(l_idx == 0)
@@ -210,8 +220,7 @@ def _fwd_kernel(u_ref, delta_ref, a_mat_ref, b_ref, c_ref, y_ref, carry_ref,
     u = u_ref[0]          # (T, KD)
     delta = delta_ref[0]  # (T, KD)
     A = a_mat_ref[...]    # (N, KD)
-    Bx = _expand_dirs(b_ref[0], K, Dh)   # (T, N, KD)
-    Cx = _expand_dirs(c_ref[0], K, Dh)
+    Bx, Cx = _unpack_bc_lanes(bc_ref[0], K, Dh, N)  # (T, N, KD) each
 
     carry_ref[0, 0] = h_scratch[...]  # state entering this chunk
 
@@ -225,9 +234,9 @@ def _fwd_kernel(u_ref, delta_ref, a_mat_ref, b_ref, c_ref, y_ref, carry_ref,
         jax.lax.slice_in_dim(states, T - 1, T, axis=0), axis=0)
 
 
-def _bwd_kernel(u_ref, delta_ref, a_mat_ref, b_ref, c_ref, dy_ref, carry_ref,
-                du_ref, ddelta_ref, db_ref, dc_ref, da_out_ref,
-                g_scratch, da_scratch, *, K: int, Dh: int):
+def _bwd_kernel(u_ref, delta_ref, a_mat_ref, bc_ref, dy_ref, carry_ref,
+                du_ref, ddelta_ref, dbc_ref, da_out_ref,
+                g_scratch, da_scratch, *, K: int, Dh: int, N: int):
     """Processes chunks in REVERSE L order (the wrapper flips the index map).
     Recomputes in-chunk states from the saved carry, then the adjoint:
         g_t = C_t dy_t + dA_{t+1} g_{t+1};  d(dA)_t = g_t h_{t-1};  d(dBu)_t = g_t
@@ -243,8 +252,7 @@ def _bwd_kernel(u_ref, delta_ref, a_mat_ref, b_ref, c_ref, dy_ref, carry_ref,
     u = u_ref[0]
     delta = delta_ref[0]
     A = a_mat_ref[...]
-    Bx = _expand_dirs(b_ref[0], K, Dh)
-    Cx = _expand_dirs(c_ref[0], K, Dh)
+    Bx, Cx = _unpack_bc_lanes(bc_ref[0], K, Dh, N)
     dy = dy_ref[0]
     h_in = carry_ref[0, 0]  # (N, KD) state entering this chunk
 
@@ -275,8 +283,8 @@ def _bwd_kernel(u_ref, delta_ref, a_mat_ref, b_ref, c_ref, dy_ref, carry_ref,
     GB = jnp.sum(G * Bx, axis=1)                              # (T, KD)
     ddelta_ref[0] = jnp.sum(gdA * dA * A[None], axis=1) + GB * u
     du_ref[0] = GB * delta
-    db_ref[0] = _reduce_dirs(G * (delta * u)[:, None, :], K, Dh)   # (T, K, N)
-    dc_ref[0] = _reduce_dirs(states * dy[:, None, :], K, Dh)
+    dbc_ref[0] = _pack_bc_grads(G * (delta * u)[:, None, :],
+                                states * dy[:, None, :], K, Dh, N)
     da_scratch[...] += jnp.sum(gdA * dA * delta[:, None, :], axis=0)
 
     @pl.when(l_idx == nl - 1)
@@ -295,18 +303,19 @@ def _pick_chunk(L: int, dstate: int, dim: int) -> int:
     return int(max(8, min(t, 128, L)))
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(5,))
-def _scan_core_pallas(u, delta, A, Bmat, Cmat, interpret=False):
-    """u/delta (B, L, KD); A (N, KD); Bmat/Cmat (B, L, K, N). Returns y (B, L, KD)."""
-    y, _ = _scan_core_pallas_fwd(u, delta, A, Bmat, Cmat, interpret)
+@partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _scan_core_pallas(u, delta, A, bc, interpret=False):
+    """u/delta (B, L, KD); A (N, KD); bc (B, L, K*2N) packed per-direction
+    [B_k | C_k] lane blocks. Returns y (B, L, KD)."""
+    y, _ = _scan_core_pallas_fwd(u, delta, A, bc, interpret)
     return y
 
 
-def _scan_core_pallas_fwd(u, delta, A, Bmat, Cmat, interpret=False):
+def _scan_core_pallas_fwd(u, delta, A, bc, interpret=False):
     batch, L, KD = u.shape
-    K = Bmat.shape[2]
-    Dh = KD // K
     dstate = A.shape[0]
+    K = bc.shape[2] // (2 * dstate)
+    Dh = KD // K
     T = _pick_chunk(L, dstate, KD)
     assert L % T == 0, f"L={L} must be a multiple of chunk {T}"
     nl = L // T
@@ -314,28 +323,28 @@ def _scan_core_pallas_fwd(u, delta, A, Bmat, Cmat, interpret=False):
     grid = (batch, nl)
     ud_spec = pl.BlockSpec((1, T, KD), lambda b, l: (b, l, 0))
     a_spec = pl.BlockSpec((dstate, KD), lambda b, l: (0, 0))
-    bc_spec = pl.BlockSpec((1, T, K, dstate), lambda b, l: (b, l, 0, 0))
+    bc_spec = pl.BlockSpec((1, T, 2 * K * dstate), lambda b, l: (b, l, 0))
     carry_spec = pl.BlockSpec((1, 1, dstate, KD), lambda b, l: (b, l, 0, 0))
 
     y, carries = pl.pallas_call(
-        partial(_fwd_kernel, K=K, Dh=Dh),
+        partial(_fwd_kernel, K=K, Dh=Dh, N=dstate),
         grid=grid,
-        in_specs=[ud_spec, ud_spec, a_spec, bc_spec, bc_spec],
+        in_specs=[ud_spec, ud_spec, a_spec, bc_spec],
         out_specs=(ud_spec, carry_spec),
         out_shape=(jax.ShapeDtypeStruct((batch, L, KD), jnp.float32),
                    jax.ShapeDtypeStruct((batch, nl, dstate, KD), jnp.float32)),
         scratch_shapes=[pltpu.VMEM((dstate, KD), jnp.float32)],
         interpret=interpret,
-    )(u, delta, A, Bmat, Cmat)
-    return y, (u, delta, A, Bmat, Cmat, carries)
+    )(u, delta, A, bc)
+    return y, (u, delta, A, bc, carries)
 
 
 def _scan_core_pallas_bwd(interpret, residuals, dy):
-    u, delta, A, Bmat, Cmat, carries = residuals
+    u, delta, A, bc, carries = residuals
     batch, L, KD = u.shape
-    K = Bmat.shape[2]
-    Dh = KD // K
     dstate = A.shape[0]
+    K = bc.shape[2] // (2 * dstate)
+    Dh = KD // K
     T = _pick_chunk(L, dstate, KD)
     nl = L // T
 
@@ -343,27 +352,26 @@ def _scan_core_pallas_bwd(interpret, residuals, dy):
     rev = lambda b, l: (b, nl - 1 - l, 0)
     ud_spec = pl.BlockSpec((1, T, KD), rev)
     a_spec = pl.BlockSpec((dstate, KD), lambda b, l: (0, 0))
-    bc_spec = pl.BlockSpec((1, T, K, dstate), lambda b, l: (b, nl - 1 - l, 0, 0))
+    bc_spec = pl.BlockSpec((1, T, 2 * K * dstate), rev)
     carry_spec = pl.BlockSpec((1, 1, dstate, KD),
                               lambda b, l: (b, nl - 1 - l, 0, 0))
     da_spec = pl.BlockSpec((1, dstate, KD), lambda b, l: (b, 0, 0))
 
-    du, ddelta, dB, dC, dA = pl.pallas_call(
-        partial(_bwd_kernel, K=K, Dh=Dh),
+    du, ddelta, dbc, dA = pl.pallas_call(
+        partial(_bwd_kernel, K=K, Dh=Dh, N=dstate),
         grid=grid,
-        in_specs=[ud_spec, ud_spec, a_spec, bc_spec, bc_spec, ud_spec, carry_spec],
-        out_specs=(ud_spec, ud_spec, bc_spec, bc_spec, da_spec),
+        in_specs=[ud_spec, ud_spec, a_spec, bc_spec, ud_spec, carry_spec],
+        out_specs=(ud_spec, ud_spec, bc_spec, da_spec),
         out_shape=(jax.ShapeDtypeStruct((batch, L, KD), jnp.float32),
                    jax.ShapeDtypeStruct((batch, L, KD), jnp.float32),
-                   jax.ShapeDtypeStruct((batch, L, K, dstate), jnp.float32),
-                   jax.ShapeDtypeStruct((batch, L, K, dstate), jnp.float32),
+                   jax.ShapeDtypeStruct((batch, L, 2 * K * dstate), jnp.float32),
                    jax.ShapeDtypeStruct((batch, dstate, KD), jnp.float32)),
         scratch_shapes=[pltpu.VMEM((dstate, KD), jnp.float32),
                         pltpu.VMEM((dstate, KD), jnp.float32)],
         interpret=interpret,
-    )(u, delta, A, Bmat, Cmat, dy, carries)
+    )(u, delta, A, bc, dy, carries)
     # dA per-batch partials -> sum over batch
-    return du, ddelta, jnp.sum(dA, axis=0), dB, dC
+    return du, ddelta, jnp.sum(dA, axis=0), dbc
 
 
 _scan_core_pallas.defvjp(_scan_core_pallas_fwd, _scan_core_pallas_bwd)
@@ -372,20 +380,26 @@ _scan_core_pallas.defvjp(_scan_core_pallas_fwd, _scan_core_pallas_bwd)
 def _run_packed_scan(u, delta, A_t, Bmat, Cmat, interpret=False):
     """Common padding + kernel invocation. u/delta (B, L, K, Dh) fp32 (delta
     already softplus'ed); A_t (N, K*Dh); Bmat/Cmat (B, L, K, N).
-    Returns y (B, L, K, Dh)."""
+    Returns y (B, L, K, Dh).
+
+    B and C are packed into one lane-compact (B, L, K*2N) operand: per
+    direction k the lanes hold [B_k(N) | C_k(N)]. For SS2D (K=4, N=16) this is
+    exactly one 128-lane tile; the old (B, L, K, N) operands were tiled
+    T(8,128) with 8-16x HBM padding."""
     batch, L, K, Dh = u.shape
     dstate = A_t.shape[0]
     u_k = u.reshape(batch, L, K * Dh)
     delta_k = delta.reshape(batch, L, K * Dh)
+    bc = jnp.concatenate([Bmat, Cmat], axis=3).reshape(
+        batch, L, K * 2 * dstate)
 
     T = _pick_chunk(max(L, 8), dstate, K * Dh)
     lpad = (-L) % T
     if lpad:
         u_k = jnp.pad(u_k, ((0, 0), (0, lpad), (0, 0)))
         delta_k = jnp.pad(delta_k, ((0, 0), (0, lpad), (0, 0)))
-        Bmat = jnp.pad(Bmat, ((0, 0), (0, lpad), (0, 0), (0, 0)))
-        Cmat = jnp.pad(Cmat, ((0, 0), (0, lpad), (0, 0), (0, 0)))
-    y = _scan_core_pallas(u_k, delta_k, A_t, Bmat, Cmat, interpret)
+        bc = jnp.pad(bc, ((0, 0), (0, lpad), (0, 0)))
+    y = _scan_core_pallas(u_k, delta_k, A_t, bc, interpret)
     return y[:, :L].reshape(batch, L, K, Dh)
 
 

@@ -31,7 +31,8 @@ from flax import serialization
 
 from ..data.augment import AugmentConfig, augment_train_batch, get_patch_size, \
     prepare_val_batch
-from ..data.dataset import DatasetNumpy, unpack_dataset
+from ..data.dataset import (DatasetNumpy, infer_dataset_class,
+                            unpack_dataset)
 from ..data.loader import DevicePrefetcher
 from ..data.patch_sampler import PatchSampler
 from ..configuration import ANISO_THRESHOLD
@@ -93,6 +94,7 @@ class Trainer:
         self.num_input_channels = determine_num_input_channels(
             self.plans_manager, self.configuration_manager, dataset_json)
 
+        self._dataset_class = None
         self.current_epoch = 0
         self._best_ema = None
         self.logger = TrainingLogger()
@@ -116,6 +118,15 @@ class Trainer:
         self.my_init_kwargs = {"plans": plans, "configuration": configuration,
                                "fold": fold, "dataset_json": dataset_json,
                                "trainer_name": trainer_name}
+
+    @property
+    def dataset_class(self):
+        """Storage backend inferred from the preprocessed folder's file endings
+        (reference `nnunet_dataset.py:313`: npz/npy -> numpy, b2nd -> blosc2)."""
+        if self._dataset_class is None:
+            self._dataset_class = infer_dataset_class(
+                self.preprocessed_dataset_folder)
+        return self._dataset_class
 
     # ----------------------------------------------------------------- logging
     def print_to_log_file(self, *args, also_print_to_console=True,
@@ -427,11 +438,13 @@ class Trainer:
     # ----------------------------------------------------------------- split
     def do_split(self) -> Tuple[List[str], List[str]]:
         if self.fold == "all":
-            keys = DatasetNumpy.get_identifiers(self.preprocessed_dataset_folder)
+            keys = self.dataset_class.get_identifiers(
+                self.preprocessed_dataset_folder)
             return sorted(keys), sorted(keys)
         splits_file = join(self.preprocessed_dataset_folder_base,
                            "splits_final.json")
-        keys = sorted(DatasetNumpy.get_identifiers(self.preprocessed_dataset_folder))
+        keys = sorted(self.dataset_class.get_identifiers(
+            self.preprocessed_dataset_folder))
         if not isfile(splits_file):
             splits = generate_crossval_split(keys, seed=12345, n_splits=5)
             save_json(splits, splits_file)
@@ -459,9 +472,9 @@ class Trainer:
             prev_stage_folder = join(
                 self.preprocessed_dataset_folder_base,
                 "predicted_next_stage", self.configuration_name)
-        ds_tr = DatasetNumpy(self.preprocessed_dataset_folder, tr_keys,
+        ds_tr = self.dataset_class(self.preprocessed_dataset_folder, tr_keys,
                              folder_with_segs_from_previous_stage=prev_stage_folder)
-        ds_val = DatasetNumpy(self.preprocessed_dataset_folder, val_keys,
+        ds_val = self.dataset_class(self.preprocessed_dataset_folder, val_keys,
                               folder_with_segs_from_previous_stage=prev_stage_folder)
         dim = len(self.configuration_manager.patch_size)
 
@@ -575,7 +588,7 @@ class Trainer:
         if not self.was_initialized:
             self.initialize()
         maybe_mkdir(self.output_folder)
-        if self.unpack_dataset_flag:
+        if self.unpack_dataset_flag and self.dataset_class is DatasetNumpy:
             unpack_dataset(self.preprocessed_dataset_folder, num_processes=4)
         self.get_dataloaders()
         if self.is_rank0:
@@ -653,7 +666,8 @@ class Trainer:
         validation_output_folder = join(self.output_folder, "validation")
         maybe_mkdir(validation_output_folder)
         _, val_keys = self.do_split()
-        dataset_val = DatasetNumpy(self.preprocessed_dataset_folder, val_keys)
+        dataset_val = self.dataset_class(self.preprocessed_dataset_folder,
+                                         val_keys)
         # multi-host: stripe validation cases over processes (reference
         # `val_keys[rank::world]`, nnUNetTrainer.py:1387), sync before metrics
         if jax.process_count() > 1:
