@@ -8,8 +8,11 @@ averaging, ``num_parts``/``part_id`` case striping, overwrite skipping.
 
 TPU-native: tiles are batched per forward pass (the reference runs batch=1 per
 tile), the tile forward (incl. all mirror flips) is one jitted function per
-configuration, and accumulation happens in host fp32 numpy while the device chews
-the next tile batch.
+configuration, and Gaussian-weighted accumulation happens ON DEVICE in jitted
+scatter-add steps over donated (spatial, heads) buffers — no device->host
+round-trip per tile batch. Buffer shapes are bucketed (spatial dims rounded up
+to half-patch multiples) so volume-shape variety doesn't trigger a recompile
+per case. NNUZOO_HOST_ACCUM=1 restores the round-1 host-numpy accumulation.
 """
 
 import itertools
@@ -143,6 +146,54 @@ class Predictor:
             return pred  # (B, *patch, num_heads)
 
         self._jit_tile_forward = jax.jit(tile_forward)
+        self._acc_cache = {}
+
+    # ------------------------------------------------------------------ accumulation
+    def _get_acc_fns(self, buf_spatial: Tuple[int, ...],
+                     patch_eff: Tuple[int, ...], num_heads: int):
+        """Jitted device-side scatter-add + finalize for one bucketed buffer
+        shape (replaces the reference's per-tile device->host accumulation hot
+        loop, `predict_from_raw_data.py:566-643`; SURVEY §7.8)."""
+        key = (buf_spatial, patch_eff, num_heads)
+        if key not in self._acc_cache:
+            dim = len(buf_spatial)
+            B = self.tile_batch_size
+
+            def acc(logits_buf, weights_buf, preds, gaussian, starts, valid):
+                # preds (B, *patch_eff, H); gaussian (*patch_eff, 1);
+                # starts (B, dim) int32; valid (B,) 0/1 masks batch padding.
+                # Tiles overlap -> sequential read-modify-write per tile.
+                def body(j, bufs):
+                    lb, wb = bufs
+                    st = tuple(starts[j, i] for i in range(dim))
+                    g = gaussian * valid[j]
+                    cur = jax.lax.dynamic_slice(
+                        lb, st + (0,), patch_eff + (num_heads,))
+                    lb = jax.lax.dynamic_update_slice(
+                        lb, cur + preds[j] * g, st + (0,))
+                    curw = jax.lax.dynamic_slice(wb, st + (0,), patch_eff + (1,))
+                    wb = jax.lax.dynamic_update_slice(wb, curw + g, st + (0,))
+                    return lb, wb
+
+                return jax.lax.fori_loop(0, B, body, (logits_buf, weights_buf))
+
+            def finalize(logits_buf, weights_buf):
+                return logits_buf / jnp.maximum(weights_buf, 1e-8)
+
+            self._acc_cache[key] = (jax.jit(acc, donate_argnums=(0, 1)),
+                                    jax.jit(finalize))
+        return self._acc_cache[key]
+
+    @staticmethod
+    def _bucket_spatial(spatial: Tuple[int, ...],
+                        patch_eff: Tuple[int, ...]) -> Tuple[int, ...]:
+        """Round spatial dims up to half-patch multiples so compile count stays
+        bounded across volume shapes (patch-eff axes of 1 bucket to steps of 4)."""
+        out = []
+        for s, p in zip(spatial, patch_eff):
+            q = max(4, p // 2)
+            out.append(int(-(-s // q) * q))
+        return tuple(out)
 
     # ------------------------------------------------------------------ sliding window
     def predict_sliding_window_return_logits(self, data: np.ndarray,
@@ -161,28 +212,83 @@ class Predictor:
         gaussian = compute_gaussian(patch_size) if self.use_gaussian else \
             np.ones(patch_size, dtype=np.float32)
 
-        logits = np.zeros((num_heads, *spatial), dtype=np.float32)
-        weights = np.zeros(spatial, dtype=np.float32)
+        if os.environ.get("NNUZOO_HOST_ACCUM", "") == "1":
+            logits = self._host_accumulate(data_padded, slicers, gaussian,
+                                           params, num_heads)
+        else:
+            logits = self._device_accumulate(data_padded, slicers, gaussian,
+                                             params, num_heads, patch_size)
+        if not np.isfinite(logits).all():
+            raise RuntimeError("Non-finite values in accumulated logits")
+        return logits[(slice(None),) + revert_slicer[1:]] \
+            if len(revert_slicer) > 1 else logits[revert_slicer]
+
+    def _device_accumulate(self, data_padded, slicers, gaussian, params,
+                           num_heads, patch_size):
+        spatial = data_padded.shape[1:]
+        dim = len(spatial)
+        # effective patch in the full spatial space (2d-on-3d spans one slice)
+        patch_eff = ((1,) * (dim - len(patch_size)) + patch_size)
+        buf_spatial = self._bucket_spatial(spatial, patch_eff)
+        acc, finalize = self._get_acc_fns(buf_spatial, patch_eff, num_heads)
+
+        logits_buf = jnp.zeros((*buf_spatial, num_heads), jnp.float32)
+        weights_buf = jnp.zeros((*buf_spatial, 1), jnp.float32)
+        g_dev = jnp.asarray(gaussian.reshape(*patch_eff, 1))
+
+        def tile_start(sl):
+            # slicer entries after the channel slice: ints (2d-on-3d z) or slices
+            out = []
+            for s in sl[1:]:
+                out.append(s if isinstance(s, int) else s.start)
+            return out
 
         bt = self.tile_batch_size
         for i in range(0, len(slicers), bt):
             batch_slicers = slicers[i:i + bt]
+            n_real = len(batch_slicers)
             tiles = np.stack([data_padded[sl] for sl in batch_slicers])
-            if len(batch_slicers) < bt:  # pad the last batch
+            starts = np.asarray([tile_start(sl) for sl in batch_slicers],
+                                dtype=np.int32)
+            if n_real < bt:
+                reps = bt - n_real
+                tiles = np.concatenate([tiles, np.repeat(tiles[-1:], reps, 0)])
+                starts = np.concatenate([starts,
+                                         np.repeat(starts[-1:], reps, 0)])
+            valid = (np.arange(bt) < n_real).astype(np.float32)
+            x = jnp.asarray(np.moveaxis(tiles, 1, -1))  # (B, *patch, C)
+            preds = self._jit_tile_forward(params, x)   # (B, *patch, H), device
+            preds = preds.reshape(preds.shape[0], *patch_eff, num_heads)
+            logits_buf, weights_buf = acc(
+                logits_buf, weights_buf, preds, g_dev,
+                jnp.asarray(starts), jnp.asarray(valid))
+
+        out = np.asarray(finalize(logits_buf, weights_buf))  # one fetch/volume
+        out = out[tuple(slice(0, s) for s in spatial)]
+        return np.moveaxis(out, -1, 0)  # (H, *spatial)
+
+    def _host_accumulate(self, data_padded, slicers, gaussian, params,
+                         num_heads):
+        """Round-1 behavior: accumulate in host numpy (debug fallback)."""
+        spatial = data_padded.shape[1:]
+        logits = np.zeros((num_heads, *spatial), dtype=np.float32)
+        weights = np.zeros(spatial, dtype=np.float32)
+        bt = self.tile_batch_size
+        for i in range(0, len(slicers), bt):
+            batch_slicers = slicers[i:i + bt]
+            tiles = np.stack([data_padded[sl] for sl in batch_slicers])
+            if len(batch_slicers) < bt:
                 reps = bt - len(batch_slicers)
                 tiles = np.concatenate([tiles, np.repeat(tiles[-1:], reps, 0)])
-            x = jnp.asarray(np.moveaxis(tiles, 1, -1))  # (B, *patch, C)
+            x = jnp.asarray(np.moveaxis(tiles, 1, -1))
             preds = np.asarray(self._jit_tile_forward(params, x))
-            preds = np.moveaxis(preds, -1, 1)  # (B, heads, *patch)
+            preds = np.moveaxis(preds, -1, 1)
             for j, sl in enumerate(batch_slicers):
                 target_sl = (slice(None),) + sl[1:]
                 logits[target_sl] += preds[j] * gaussian
                 weights[sl[1:]] += gaussian
         logits /= np.maximum(weights, 1e-8)
-        if not np.isfinite(logits).all():
-            raise RuntimeError("Non-finite values in accumulated logits")
-        return logits[(slice(None),) + revert_slicer[1:]] \
-            if len(revert_slicer) > 1 else logits[revert_slicer]
+        return logits
 
     def predict_logits_from_preprocessed_data(self, data: np.ndarray) -> np.ndarray:
         """Average logits over folds (reference `:478-513`)."""

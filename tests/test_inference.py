@@ -114,3 +114,28 @@ def test_predict_and_evaluate(trained_model):
     pred.predict_from_files(in_folder, out2, num_parts=3, part_id=0)
     part0 = set(f for f in os.listdir(out2) if f.endswith(".nii.gz"))
     assert len(part0) == 2
+
+
+def test_device_accum_matches_host(trained_model):
+    """Device-side scatter-add accumulation == host numpy accumulation, for a
+    3D patch and a 2D-config-on-3D-volume tiling."""
+    import os
+    from nnuzoo_tpu.inference.predictor import Predictor
+
+    raw, pp, res, model_folder = trained_model
+    rng = np.random.RandomState(0)
+
+    pred = Predictor(tile_step_size=0.5, use_gaussian=True,
+                     use_mirroring=False, tile_batch_size=2)
+    pred.initialize_from_trained_model_folder(model_folder, use_folds=[0])
+
+    # odd, non-bucket-aligned spatial shape; more tiles than one batch
+    vol = rng.rand(1, 21, 27, 19).astype(np.float32)
+    dev = pred.predict_sliding_window_return_logits(vol)
+    os.environ["NNUZOO_HOST_ACCUM"] = "1"
+    try:
+        host = pred.predict_sliding_window_return_logits(vol)
+    finally:
+        os.environ.pop("NNUZOO_HOST_ACCUM")
+    assert dev.shape == host.shape
+    np.testing.assert_allclose(dev, host, rtol=1e-4, atol=1e-5)
