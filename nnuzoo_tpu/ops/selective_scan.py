@@ -217,10 +217,12 @@ def _fwd_kernel(u_ref, delta_ref, a_mat_ref, bc_ref, y_ref, carry_ref,
     def _init():
         h_scratch[...] = jnp.zeros_like(h_scratch)
 
-    u = u_ref[0]          # (T, KD)
-    delta = delta_ref[0]  # (T, KD)
-    A = a_mat_ref[...]    # (N, KD)
-    Bx, Cx = _unpack_bc_lanes(bc_ref[0], K, Dh, N)  # (T, N, KD) each
+    # operands may arrive bf16 (bf16 training halves the scan's HBM traffic,
+    # its dominant cost); all math runs fp32 in VMEM
+    u = u_ref[0].astype(jnp.float32)          # (T, KD)
+    delta = delta_ref[0].astype(jnp.float32)  # (T, KD)
+    A = a_mat_ref[...]                        # (N, KD) fp32
+    Bx, Cx = _unpack_bc_lanes(bc_ref[0].astype(jnp.float32), K, Dh, N)
 
     carry_ref[0, 0] = h_scratch[...]  # state entering this chunk
 
@@ -228,7 +230,7 @@ def _fwd_kernel(u_ref, delta_ref, a_mat_ref, bc_ref, y_ref, carry_ref,
     dBu = (delta * u)[:, None, :] * Bx
     a_cum, b_cum = _hillis_steele(dA, dBu)
     states = a_cum * h_scratch[...][None] + b_cum             # (T, N, KD)
-    y_ref[0] = jnp.sum(states * Cx, axis=1)                   # (T, KD)
+    y_ref[0] = jnp.sum(states * Cx, axis=1).astype(y_ref.dtype)
     T = states.shape[0]
     h_scratch[...] = jnp.squeeze(
         jax.lax.slice_in_dim(states, T - 1, T, axis=0), axis=0)
@@ -249,11 +251,11 @@ def _bwd_kernel(u_ref, delta_ref, a_mat_ref, bc_ref, dy_ref, carry_ref,
         g_scratch[...] = jnp.zeros_like(g_scratch)
         da_scratch[...] = jnp.zeros_like(da_scratch)
 
-    u = u_ref[0]
-    delta = delta_ref[0]
+    u = u_ref[0].astype(jnp.float32)
+    delta = delta_ref[0].astype(jnp.float32)
     A = a_mat_ref[...]
-    Bx, Cx = _unpack_bc_lanes(bc_ref[0], K, Dh, N)
-    dy = dy_ref[0]
+    Bx, Cx = _unpack_bc_lanes(bc_ref[0].astype(jnp.float32), K, Dh, N)
+    dy = dy_ref[0].astype(jnp.float32)
     h_in = carry_ref[0, 0]  # (N, KD) state entering this chunk
 
     # recompute forward states for this chunk
@@ -281,10 +283,12 @@ def _bwd_kernel(u_ref, delta_ref, a_mat_ref, bc_ref, dy_ref, carry_ref,
 
     gdA = G * h_prev
     GB = jnp.sum(G * Bx, axis=1)                              # (T, KD)
-    ddelta_ref[0] = jnp.sum(gdA * dA * A[None], axis=1) + GB * u
-    du_ref[0] = GB * delta
+    ddelta_ref[0] = (jnp.sum(gdA * dA * A[None], axis=1) +
+                     GB * u).astype(ddelta_ref.dtype)
+    du_ref[0] = (GB * delta).astype(du_ref.dtype)
     dbc_ref[0] = _pack_bc_grads(G * (delta * u)[:, None, :],
-                                states * dy[:, None, :], K, Dh, N)
+                                states * dy[:, None, :], K, Dh, N
+                                ).astype(dbc_ref.dtype)
     da_scratch[...] += jnp.sum(gdA * dA * delta[:, None, :], axis=0)
 
     @pl.when(l_idx == nl - 1)
@@ -331,7 +335,7 @@ def _scan_core_pallas_fwd(u, delta, A, bc, interpret=False):
         grid=grid,
         in_specs=[ud_spec, ud_spec, a_spec, bc_spec],
         out_specs=(ud_spec, carry_spec),
-        out_shape=(jax.ShapeDtypeStruct((batch, L, KD), jnp.float32),
+        out_shape=(jax.ShapeDtypeStruct((batch, L, KD), u.dtype),
                    jax.ShapeDtypeStruct((batch, nl, dstate, KD), jnp.float32)),
         scratch_shapes=[pltpu.VMEM((dstate, KD), jnp.float32)],
         interpret=interpret,
@@ -362,9 +366,9 @@ def _scan_core_pallas_bwd(interpret, residuals, dy):
         grid=grid,
         in_specs=[ud_spec, ud_spec, a_spec, bc_spec, ud_spec, carry_spec],
         out_specs=(ud_spec, ud_spec, bc_spec, da_spec),
-        out_shape=(jax.ShapeDtypeStruct((batch, L, KD), jnp.float32),
-                   jax.ShapeDtypeStruct((batch, L, KD), jnp.float32),
-                   jax.ShapeDtypeStruct((batch, L, 2 * K * dstate), jnp.float32),
+        out_shape=(jax.ShapeDtypeStruct((batch, L, KD), u.dtype),
+                   jax.ShapeDtypeStruct((batch, L, KD), delta.dtype),
+                   jax.ShapeDtypeStruct((batch, L, 2 * K * dstate), bc.dtype),
                    jax.ShapeDtypeStruct((batch, dstate, KD), jnp.float32)),
         scratch_shapes=[pltpu.VMEM((dstate, KD), jnp.float32),
                         pltpu.VMEM((dstate, KD), jnp.float32)],
@@ -418,7 +422,13 @@ def selective_scan_blkd(u, delta, A, Bmat, Cmat, D=None, delta_bias=None,
         platform = jax.devices()[0].platform
         backend = "pallas" if platform == "tpu" else "xla"
 
-    u32 = u.astype(jnp.float32)
+    # bf16 u/B/C stay bf16 on the pallas path (the kernel upcasts in VMEM;
+    # the fp32 state/carry never leaves the chip) — big cut in scan HBM
+    # traffic under bf16 training. delta stays fp32 (mamba convention: the
+    # exp(delta*A) decay is precision-sensitive).
+    compute_dtype = jnp.bfloat16 if (u.dtype == jnp.bfloat16 and
+                                     backend == "pallas") else jnp.float32
+    u32 = u.astype(compute_dtype)
     delta32 = delta.astype(jnp.float32)
     if delta_bias is not None:
         delta32 = delta32 + delta_bias.astype(jnp.float32).reshape(1, 1, K, Dh)
@@ -427,8 +437,8 @@ def selective_scan_blkd(u, delta, A, Bmat, Cmat, D=None, delta_bias=None,
 
     if backend == "pallas":
         A_t = jnp.transpose(A.astype(jnp.float32), (1, 0))  # (N, K*Dh)
-        y = _run_packed_scan(u32, delta32, A_t, Bmat.astype(jnp.float32),
-                             Cmat.astype(jnp.float32), interpret)
+        y = _run_packed_scan(u32, delta32, A_t, Bmat.astype(compute_dtype),
+                             Cmat.astype(compute_dtype), interpret)
     else:
         # mamba-convention fallback (CPU tests / explicit override)
         u_c = jnp.transpose(u32, (0, 2, 3, 1)).reshape(batch, K * Dh, L)

@@ -196,3 +196,39 @@ class TestSSD:
             else:
                 os.environ.pop("NNUZOO_SCAN_BACKEND", None)
         np.testing.assert_allclose(y_ssd, y_m1, rtol=2e-3, atol=2e-3)
+
+
+def test_blkd_bf16_operands():
+    """bf16 u/B/C operands on the pallas path (fp32 in-VMEM math, fp32 delta):
+    matches the fp32 path within bf16 quantization error; grads flow."""
+    from nnuzoo_tpu.ops.selective_scan import selective_scan_blkd
+    interp = jax.devices()[0].platform != "tpu"   # CPU suite: interpret mode
+    rng = np.random.RandomState(0)
+    B, L, K, Dh, N = 2, 256, 4, 32, 16
+    u = jnp.asarray(rng.randn(B, L, K, Dh).astype(np.float32))
+    delta = jnp.asarray(rng.randn(B, L, K, Dh).astype(np.float32))
+    A = -jnp.abs(jnp.asarray(rng.randn(K * Dh, N).astype(np.float32)))
+    Bm = jnp.asarray(rng.randn(B, L, K, N).astype(np.float32))
+    Cm = jnp.asarray(rng.randn(B, L, K, N).astype(np.float32))
+
+    y32 = selective_scan_blkd(u, delta, A, Bm, Cm, delta_softplus=True,
+                              backend="pallas", interpret=interp)
+    y16 = selective_scan_blkd(u.astype(jnp.bfloat16), delta, A,
+                              Bm.astype(jnp.bfloat16),
+                              Cm.astype(jnp.bfloat16), delta_softplus=True,
+                              backend="pallas", interpret=interp)
+    assert y16.dtype == jnp.bfloat16
+    scale = float(jnp.max(jnp.abs(y32)))
+    assert float(jnp.max(jnp.abs(y16.astype(jnp.float32) - y32))) < 0.03 * scale
+
+    def loss(u_, b_, c_):
+        return jnp.sum(selective_scan_blkd(
+            u_, delta, A, b_, c_, delta_softplus=True, backend="pallas",
+            interpret=interp).astype(jnp.float32) ** 2)
+
+    gu, gb, gc = jax.grad(loss, argnums=(0, 1, 2))(
+        u.astype(jnp.bfloat16), Bm.astype(jnp.bfloat16),
+        Cm.astype(jnp.bfloat16))
+    assert gu.dtype == jnp.bfloat16
+    for g in (gu, gb, gc):
+        assert bool(jnp.isfinite(g.astype(jnp.float32)).all())
