@@ -84,3 +84,38 @@ def shard_batch_spec(mesh: Mesh) -> NamedSharding:
 
 def replicate_spec(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, PartitionSpec())
+
+
+def get_2d_mesh(n_data: int, n_model: int, devices=None) -> Mesh:
+    """('data', 'model') mesh for combined data + tensor parallelism. Lay the
+    'model' axis innermost so its collectives ride neighboring ICI links."""
+    if devices is None:
+        devices = jax.devices()
+    devices = np.array(devices[: n_data * n_model]).reshape(n_data, n_model)
+    return Mesh(devices, ("data", "model"))
+
+
+def shard_params_channelwise(params, mesh: Mesh, axis: str = "model",
+                             min_size: int = 128):
+    """Channel-wise tensor parallelism via GSPMD: shard each weight's LAST
+    (output-feature) dimension over ``axis`` when it divides evenly and is
+    large enough to be worth splitting; everything else is replicated. XLA's
+    partitioner inserts the all-gathers / reduce-scatters — this is the
+    sharding-annotation (not hand-collective) route the scaling playbook
+    prescribes for conv/dense channel sharding.
+
+    Returns (sharded_params, shardings_pytree) — the shardings are reusable as
+    jit in/out shardings.
+    """
+    n_shard = mesh.shape[axis]
+
+    def spec_for(p):
+        if p.ndim >= 1 and p.shape[-1] % n_shard == 0 and \
+                p.shape[-1] >= min_size:
+            return NamedSharding(
+                mesh, PartitionSpec(*([None] * (p.ndim - 1) + [axis])))
+        return NamedSharding(mesh, PartitionSpec())
+
+    shardings = jax.tree.map(spec_for, params)
+    sharded = jax.tree.map(jax.device_put, params, shardings)
+    return sharded, shardings

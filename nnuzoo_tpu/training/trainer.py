@@ -340,8 +340,16 @@ class Trainer:
         val_cfg = self.val_aug_cfg
         tx = self.tx
 
-        use_bf16 = self.config.use_bf16 or \
-            os.environ.get("NNUZOO_BF16", "") == "1"
+        env_bf16 = os.environ.get("NNUZOO_BF16", "")
+        if env_bf16 in ("0", "1"):
+            use_bf16 = env_bf16 == "1"
+        elif self.config.use_bf16 is not None:
+            use_bf16 = self.config.use_bf16
+        else:  # auto: bf16 on TPU (the analogue of autocast-on-cuda)
+            use_bf16 = jax.devices()[0].platform == "tpu"
+        if use_bf16:
+            self.print_to_log_file("mixed precision: bf16 compute, fp32 "
+                                   "master weights")
 
         def to_cl(x):  # (B, C, *spatial) -> channels-last
             x = jnp.moveaxis(x, 1, -1)

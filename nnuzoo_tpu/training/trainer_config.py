@@ -40,8 +40,10 @@ class TrainerConfig:
     # mixed precision: cast params+activations to bf16 in the forward/backward
     # (losses, normalization stats and the selective-scan state stay fp32) --
     # the TPU analogue of the reference's AMP GradScaler path (no scaler needed:
-    # bf16 has fp32's exponent range)
-    use_bf16: bool = False
+    # bf16 has fp32's exponent range). None = auto: bf16 on TPU, fp32 elsewhere
+    # (mirrors the reference enabling autocast only on cuda,
+    # nnUNetTrainer.py:1128). NNUZOO_BF16=0/1 overrides.
+    use_bf16: bool = None
 
 
 _ZOO = TrainerConfig(num_epochs=250, initial_lr=1e-4, weight_decay=5e-2,

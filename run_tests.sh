@@ -13,6 +13,7 @@ $PYTEST tests/test_models_basic.py tests/test_zoo_models.py "$@"
 $PYTEST tests/test_m2net.py "$@"
 $PYTEST tests/test_x2net.py "$@"
 $PYTEST tests/test_trainer.py tests/test_translation_target.py tests/test_cascade.py "$@"
+$PYTEST tests/test_ssl_target.py tests/test_blosc2_backend.py "$@"
 $PYTEST tests/test_multihost.py "$@"
 $PYTEST tests/test_inference.py "$@"
 $PYTEST tests/test_trainer_m2net.py "$@"

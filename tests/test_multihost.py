@@ -128,3 +128,33 @@ def test_two_process_training(tmp_path):
     out_dir = os.path.join(res, "Dataset999_Synth",
                            "nnUNetTrainer__nnUNetPlans__3d_fullres", "fold_0")
     assert os.path.isfile(os.path.join(out_dir, "checkpoint_final.pth"))
+
+
+def test_2d_mesh_channelwise_tp():
+    """get_2d_mesh + shard_params_channelwise: wide weights sharded over
+    'model', small ones replicated; a jitted matmul runs under the mesh."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec
+    from nnuzoo_tpu.parallel.mesh import get_2d_mesh, shard_params_channelwise
+
+    if jax.device_count() < 4:
+        import pytest
+        pytest.skip("needs >= 4 virtual devices")
+    mesh = get_2d_mesh(2, 2)
+    assert mesh.shape == {"data": 2, "model": 2}
+
+    params = {"wide": jnp.zeros((64, 256)), "small": jnp.zeros((16,)),
+              "odd": jnp.zeros((8, 129))}
+    sharded, shardings = shard_params_channelwise(params, mesh, min_size=128)
+    assert shardings["wide"].spec == PartitionSpec(None, "model")
+    assert shardings["small"].spec == PartitionSpec()
+    assert shardings["odd"].spec == PartitionSpec()   # 129 % 2 != 0
+
+    x = jax.device_put(jnp.ones((8, 64)),
+                       NamedSharding(mesh, PartitionSpec("data")))
+    with mesh:
+        y = jax.jit(lambda p, x: x @ p["wide"])(sharded, x)
+    assert y.shape == (8, 256)
+    assert np.isfinite(np.asarray(y)).all()
