@@ -87,10 +87,16 @@ class AugmentConfig:
     p_scaling: float = 0.2
     scale_range: Tuple[float, float] = (0.7, 1.4)
     # cascade: seg channel 1 is the previous-stage prediction, moved into the data
-    # as one-hot fg channels (reference MoveSegAsOneHotToDataTransform). The
-    # reference's random binary-operator / component-removal noise on those
-    # channels is morphological (not jit-expressible); omitted for now.
+    # as one-hot fg channels (reference MoveSegAsOneHotToDataTransform), then
+    # noised: random binary morphology (dilate/erode/close/open with a random
+    # ball, p=0.4/sample) and random connected-component removal (p=0.2/sample)
+    # - reference `cascade_transforms.py:40-137`, config
+    # `nnUNetTrainer.py:941-959`. Both run in-jit: morphology as ball-kernel
+    # convolutions, CC extraction as a radius-capped flood fill.
     is_cascaded: bool = False
+    p_cascade_binary_op: float = 0.4
+    p_cascade_remove_component: float = 0.2
+    cascade_strel_max: int = 8
     foreground_labels: Tuple[int, ...] = ()
     # 'segmentation' (int labels, nearest sampling, -1 fill + RemoveLabel) or
     # 'translation' (float regression target: linear sampling, 0 fill, no label
@@ -394,7 +400,7 @@ def make_seg_targets(cfg: AugmentConfig, seg):
 
 # --------------------------------------------------------------------- entry points
 def _augment_sample(cfg: AugmentConfig, key, data, seg):
-    k_spatial, k_intensity, k_mirror = jax.random.split(key, 3)
+    k_spatial, k_intensity, k_mirror, k_cascade = jax.random.split(key, 4)
     data, seg = _spatial_transform(cfg, k_spatial, data, seg)
     data = _intensity_chain(cfg, k_intensity, data)
     data, seg = _mirror(cfg, k_mirror, data, seg)
@@ -407,20 +413,124 @@ def _augment_sample(cfg: AugmentConfig, key, data, seg):
                                    jnp.where(mask[0], data[c], 0.0), data[c]))
         data = jnp.stack(chans)
 
-    data, seg = _cascade_move(cfg, data, seg)
+    data, seg = _cascade_move(cfg, data, seg, key=k_cascade)
     targets = make_seg_targets(cfg, seg) if seg is not None else None
     return data, targets
 
 
-def _cascade_move(cfg: AugmentConfig, data, seg):
+def _cascade_move(cfg: AugmentConfig, data, seg, key=None):
     """Move the prev-stage seg (channel 1) into the data as one-hot fg channels
-    (reference MoveSegAsOneHotToDataTransform)."""
+    (reference MoveSegAsOneHotToDataTransform); with a key (train path), apply
+    the reference's cascade noise to the one-hot channels."""
     if not cfg.is_cascaded or seg is None:
         return data, seg
     prev = seg[1]
     onehot = jnp.stack([(prev == l).astype(data.dtype)
                         for l in cfg.foreground_labels])
+    if key is not None:
+        onehot = _cascade_onehot_noise(cfg, key, onehot)
     return jnp.concatenate([data, onehot], axis=0), seg[0:1]
+
+
+# ------------------------------------------------------------- cascade noise
+def _ball_mask(r, radius_max: int, dim: int):
+    """0/1 ball footprint of traced radius r inside a static
+    (2*radius_max+1)^dim grid (skimage.morphology.ball semantics)."""
+    coords = np.stack(np.meshgrid(
+        *([np.arange(-radius_max, radius_max + 1)] * dim), indexing="ij"))
+    dist = np.sqrt((coords.astype(np.float64) ** 2).sum(0))
+    return (jnp.asarray(dist, jnp.float32) <= r).astype(jnp.float32)
+
+
+def _binary_conv(x, kernel):
+    """SAME convolution of a 0/1 volume with a 0/1 kernel (counts neighbors)."""
+    dim = x.ndim
+    dn = jax.lax.conv_dimension_numbers(
+        (1, 1, *x.shape), (1, 1, *kernel.shape),
+        ("NC" + "DHW"[-dim:], "OI" + "DHW"[-dim:], "NC" + "DHW"[-dim:]))
+    y = jax.lax.conv_general_dilated(
+        x[None, None], kernel[None, None], (1,) * dim, "SAME",
+        dimension_numbers=dn)
+    return y[0, 0]
+
+
+def _dilate(x, kernel):
+    return (_binary_conv(x, kernel) > 0.5).astype(x.dtype)
+
+
+def _erode(x, kernel):
+    return (_binary_conv(x, kernel) > jnp.sum(kernel) - 0.5).astype(x.dtype)
+
+
+def _random_binary_operation(key, x, radius_max: int):
+    """One of dilate/erode/close/open with a random ball radius in [1, max]
+    (reference ApplyRandomBinaryOperatorTransform, `cascade_transforms.py:89-137`)."""
+    k_op, k_r = jax.random.split(key)
+    kernel = _ball_mask(jax.random.uniform(k_r, (), minval=1.0,
+                                           maxval=float(radius_max)),
+                        radius_max, x.ndim)
+    return jax.lax.switch(
+        jax.random.randint(k_op, (), 0, 4),
+        [lambda v: _dilate(v, kernel),
+         lambda v: _erode(v, kernel),
+         lambda v: _erode(_dilate(v, kernel), kernel),    # closing
+         lambda v: _dilate(_erode(v, kernel), kernel)],   # opening
+        x)
+
+
+def _remove_random_component(key, x, max_frac: float = 0.15, n_iter: int = 24):
+    """Remove the connected component containing a random foreground voxel if
+    it covers < max_frac of the volume (reference
+    RemoveRandomConnectedComponentFromOneHotEncodingTransform,
+    `cascade_transforms.py:40-86`). The component is extracted by a flood fill
+    of ``n_iter`` 3^d dilate-and-mask steps, so components with geodesic radius
+    > n_iter are truncated (they are also the ones the size guard skips)."""
+    has_fg = jnp.sum(x) > 0
+    flat = x.reshape(-1)
+    seed_idx = jax.random.categorical(
+        key, jnp.where(flat > 0, 0.0, -jnp.inf))
+    seed = jnp.zeros_like(flat).at[seed_idx].set(1.0).reshape(x.shape)
+    box = jnp.ones((3,) * x.ndim, jnp.float32)
+
+    def body(_, comp):
+        return jnp.minimum(_dilate(comp, box), x)
+
+    comp = jax.lax.fori_loop(0, n_iter, body, seed)
+    small = jnp.sum(comp) < max_frac * x.size
+    return jnp.where(has_fg & small, x * (1.0 - comp), x)
+
+
+def _cascade_onehot_noise(cfg: AugmentConfig, key, onehot):
+    """Reference train-time cascade noise on the prev-stage one-hot channels
+    (`nnUNetTrainer.py:941-959`): binary morphology on every channel in random
+    order with p=0.4 per sample (voxels a channel GAINS are cleared from the
+    other channels to keep the encoding one-hot), then random component removal
+    with p=0.2 per sample."""
+    F = onehot.shape[0]
+    k_doop, k_perm, k_ops, k_docc, k_cc = jax.random.split(key, 5)
+    do_op = jax.random.bernoulli(k_doop, cfg.p_cascade_binary_op)
+    perm = jax.random.permutation(k_perm, F)
+    op_keys = jax.random.split(k_ops, F)
+
+    def per_channel(j, oh):
+        c = perm[j]
+        workon = jnp.take(oh, c, axis=0)
+        res = _random_binary_operation(op_keys[j], workon,
+                                       cfg.cascade_strel_max)
+        res = jnp.where(jnp.sum(workon) > 0, res, workon)  # ref: skip empty
+        added = ((res - workon) > 0).astype(oh.dtype)
+        # clear added voxels from all channels, then write the result back
+        oh = oh * (1.0 - added[None])
+        return jax.lax.dynamic_update_index_in_dim(oh, res, c, axis=0)
+
+    noised = jax.lax.fori_loop(0, F, per_channel, onehot)
+    onehot = jnp.where(do_op, noised, onehot)
+
+    do_cc = jax.random.bernoulli(k_docc, cfg.p_cascade_remove_component)
+    cc_keys = jax.random.split(k_cc, F)
+    removed = jnp.stack([_remove_random_component(cc_keys[c], onehot[c])
+                         for c in range(F)])
+    return jnp.where(do_cc, removed, onehot)
 
 
 @partial(jax.jit, static_argnums=0)

@@ -71,3 +71,79 @@ def test_lowres_then_cascade(tmp_path):
     assert os.path.isfile(join(tr_cas.output_folder, "checkpoint_final.pth"))
     losses = tr_cas.logger.my_fantastic_logging["train_losses"]
     assert np.isfinite(losses).all()
+
+
+class TestCascadeNoise:
+    """Jit morphology parity for the cascade one-hot noise (reference
+    `cascade_transforms.py`)."""
+
+    def test_ball_morphology_matches_scipy(self):
+        import jax
+        import jax.numpy as jnp
+        from scipy import ndimage
+        from nnuzoo_tpu.data.augment import _ball_mask, _dilate, _erode
+
+        rng = np.random.RandomState(0)
+        x = (rng.rand(24, 24) > 0.7).astype(np.float32)
+        for r in (1.0, 2.5, 4.0):
+            k = np.asarray(_ball_mask(r, 8, 2))
+            dil = np.asarray(_dilate(jnp.asarray(x), jnp.asarray(k)))
+            ero = np.asarray(_erode(jnp.asarray(x), jnp.asarray(k)))
+            ref_dil = ndimage.binary_dilation(x > 0, structure=k > 0)
+            ref_ero = ndimage.binary_erosion(x > 0, structure=k > 0)
+            np.testing.assert_array_equal(dil > 0, ref_dil)
+            np.testing.assert_array_equal(ero > 0, ref_ero)
+
+    def test_remove_random_component(self):
+        import jax
+        import jax.numpy as jnp
+        from nnuzoo_tpu.data.augment import _remove_random_component
+
+        x = np.zeros((32, 32), np.float32)
+        x[2:6, 2:6] = 1          # small component (16 voxels, 1.6%)
+        x[20:30, 20:30] = 1      # bigger component
+        removed_any = False
+        for seed in range(6):
+            out = np.asarray(_remove_random_component(
+                jax.random.PRNGKey(seed), jnp.asarray(x)))
+            # exactly one component removed, the other intact
+            a_gone = out[2:6, 2:6].sum() == 0
+            b_gone = out[20:30, 20:30].sum() == 0
+            assert a_gone != b_gone
+            removed_any = True
+        assert removed_any
+        # a component covering > 15% of the volume is never removed
+        big = np.zeros((16, 16), np.float32)
+        big[2:14, 2:14] = 1
+        out = np.asarray(_remove_random_component(
+            jax.random.PRNGKey(0), jnp.asarray(big)))
+        np.testing.assert_array_equal(out, big)
+        # empty channel is a no-op (no NaNs from the categorical)
+        empty = np.zeros((8, 8), np.float32)
+        out = np.asarray(_remove_random_component(
+            jax.random.PRNGKey(0), jnp.asarray(empty)))
+        np.testing.assert_array_equal(out, empty)
+
+    def test_onehot_noise_stays_onehot(self):
+        import jax
+        import jax.numpy as jnp
+        from nnuzoo_tpu.data.augment import (AugmentConfig,
+                                             _cascade_onehot_noise)
+
+        rng = np.random.RandomState(0)
+        prev = rng.randint(0, 3, (40, 40))
+        onehot = np.stack([(prev == l).astype(np.float32) for l in (1, 2)])
+        cfg = AugmentConfig(patch_size=(40, 40), initial_patch_size=(40, 40),
+                            rotation=0.0, is_cascaded=True,
+                            foreground_labels=(1, 2),
+                            p_cascade_binary_op=1.0,
+                            p_cascade_remove_component=1.0)
+        changed = False
+        for seed in range(4):
+            out = np.asarray(_cascade_onehot_noise(
+                cfg, jax.random.PRNGKey(seed), jnp.asarray(onehot)))
+            assert set(np.unique(out)) <= {0.0, 1.0}
+            # one-hot invariant: channels never overlap
+            assert (out.sum(0) <= 1.0 + 1e-6).all()
+            changed |= not np.array_equal(out, onehot)
+        assert changed  # with p=1 the morphology must actually do something
