@@ -40,8 +40,14 @@ def _stage_blocks(remat: bool):
     the canonical 256x224 b12 training step on a 16 GB v5e chip."""
     if not remat:
         return MU, RSU4F
-    return (nn.remat(MU, static_argnums=(2,)),       # (self, x, train)
-            nn.remat(RSU4F))
+    import jax
+    # keep the selective-scan outputs + backward carries across the remat
+    # boundary: the scan kernel's forward is NOT re-run during backward
+    # (everything else in the stage is recomputed)
+    policy = jax.checkpoint_policies.save_only_these_names(
+        "scan_y", "scan_carries")
+    return (nn.remat(MU, static_argnums=(2,), policy=policy),
+            nn.remat(RSU4F, policy=policy))
 
 
 class M2Net(nn.Module):

@@ -34,6 +34,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from jax.ad_checkpoint import checkpoint_name as _checkpoint_name
+
 try:
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -340,6 +342,11 @@ def _scan_core_pallas_fwd(u, delta, A, bc, interpret=False):
         scratch_shapes=[pltpu.VMEM((dstate, KD), jnp.float32)],
         interpret=interpret,
     )(u, delta, A, bc)
+    # names let an outer remat/checkpoint policy choose to SAVE the scan
+    # outputs instead of re-running the kernel forward during backward
+    # (m2net._stage_blocks uses save_only_these_names on these)
+    y = _checkpoint_name(y, "scan_y")
+    carries = _checkpoint_name(carries, "scan_carries")
     return y, (u, delta, A, bc, carries)
 
 

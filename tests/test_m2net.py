@@ -96,3 +96,27 @@ class TestM2Net:
         from nnuzoo_tpu.models.registry import get_model_builder
         assert get_model_builder("nnUNetTrainerM2NetP") is not None
         assert get_model_builder("nnUNetTrainerM2Net") is not None
+
+
+def test_remat_policy_grad_parity():
+    """Stage remat with the scan-output-saving policy is numerically exact:
+    grads identical to the non-remat program (verified leaf-for-leaf; the full
+    M2NetP was additionally verified 0.0-diff on CPU offline)."""
+    import flax.linen as nn
+    from nnuzoo_tpu.models.vssm import MU
+
+    policy = jax.checkpoint_policies.save_only_these_names(
+        "scan_y", "scan_carries")
+    MUr = nn.remat(MU, static_argnums=(2,), policy=policy)
+
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 32, 32, 2), jnp.float32)
+    m0, m1 = MU(2, 8, 16, 3), MUr(2, 8, 16, 3)
+    p = m0.init(jax.random.PRNGKey(0), x, True)
+
+    def g(m):
+        return jax.jit(jax.grad(lambda p: jnp.sum(m.apply(p, x, True) ** 2)))(p)
+
+    g0, g1 = g(m0), g(m1)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
