@@ -50,6 +50,33 @@ def _stage_blocks(remat: bool):
             nn.remat(RSU4F, policy=policy))
 
 
+
+class _DistributedOutConv(nn.Module):
+    """The fused d0 head, computed distributively: ``outconv(cat(d1,
+    upsample(d2..d6)))`` == ``sum_i upsample(d_i @ W_i) + b`` because the 1x1
+    conv and the (channel-independent) bilinear resize are both linear and
+    commute. Applying each W_i slice at the side's NATIVE resolution removes
+    the (B, full_res, 6*nc) concat buffer — one of the largest allocations in
+    the canonical program. Parameter layout (kernel/bias) is identical to the
+    nn.Conv it replaces, so checkpoints are unaffected."""
+    num_classes: int
+
+    @nn.compact
+    def __call__(self, sides, full_res):
+        nc = self.num_classes
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (1, 1, len(sides) * nc, nc))
+        bias = self.param("bias", nn.initializers.zeros, (nc,))
+        out = None
+        for i, d in enumerate(sides):
+            w = kernel[0, 0, i * nc:(i + 1) * nc, :]
+            e = jnp.einsum("bhwc,cd->bhwd", d, w)
+            if d.shape[1:3] != full_res:
+                e = resize_linear(e, full_res, 2)
+            out = e if out is None else out + e
+        return out + bias
+
+
 class M2Net(nn.Module):
     num_classes: int
     deep_supervision: bool = True
@@ -102,9 +129,8 @@ class M2Net(nn.Module):
         d5 = nn.Conv(self.num_classes, (3, 3), padding="SAME", name="side5")(hx5d)
         d6 = nn.Conv(self.num_classes, (3, 3), padding="SAME", name="side6")(hx6)
 
-        cat = jnp.concatenate(
-            [d1] + [resize_linear(d, full_res, 2) for d in (d2, d3, d4, d5, d6)], -1)
-        d0 = nn.Conv(self.num_classes, (1, 1), name="outconv")(cat)
+        d0 = _DistributedOutConv(self.num_classes, name="outconv")(
+            [d1, d2, d3, d4, d5, d6], full_res)
 
         outs = [d0, d1, d2, d3, d4, d5, d6]
         outs = [o.astype(jnp.float32) for o in outs]
@@ -159,9 +185,8 @@ class M2NetP(nn.Module):
         d5 = nn.Conv(self.num_classes, (3, 3), padding="SAME", name="side5")(hx5d)
         d6 = nn.Conv(self.num_classes, (3, 3), padding="SAME", name="side6")(hx6)
 
-        cat = jnp.concatenate(
-            [d1] + [resize_linear(d, full_res, 2) for d in (d2, d3, d4, d5, d6)], -1)
-        d0 = nn.Conv(self.num_classes, (1, 1), name="outconv")(cat)
+        d0 = _DistributedOutConv(self.num_classes, name="outconv")(
+            [d1, d2, d3, d4, d5, d6], full_res)
 
         outs = [d0, d1, d2, d3, d4, d5, d6]
         outs = [o.astype(jnp.float32) for o in outs]

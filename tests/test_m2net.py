@@ -120,3 +120,26 @@ def test_remat_policy_grad_parity():
     for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_distributed_outconv_matches_concat_form():
+    """d0 head rewrite: sum_i upsample(d_i @ W_i) == outconv(cat(upsampled))
+    with identical parameters (1x1 conv and bilinear resize commute)."""
+    from nnuzoo_tpu.models.layers import resize_linear
+    from nnuzoo_tpu.models.m2net import _DistributedOutConv
+
+    rng = np.random.RandomState(0)
+    nc, full = 3, (32, 32)
+    sides = [jnp.asarray(
+        rng.randn(2, 32 // (2 ** max(0, i - 1)), 32 // (2 ** max(0, i - 1)),
+                  nc).astype(np.float32)) for i in range(6)]
+    mod = _DistributedOutConv(nc)
+    p = mod.init(jax.random.PRNGKey(0), sides, full)
+    out = mod.apply(p, sides, full)
+    kernel, bias = p["params"]["kernel"], p["params"]["bias"]
+    assert kernel.shape == (1, 1, 6 * nc, nc)  # nn.Conv-compatible layout
+    cat = jnp.concatenate(
+        [sides[0]] + [resize_linear(d, full, 2) for d in sides[1:]], -1)
+    ref = jnp.einsum("bhwc,cd->bhwd", cat, kernel[0, 0]) + bias
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
