@@ -299,9 +299,31 @@ class Trainer:
             self.global_batch_size = self.local_batch_size = \
                 self.configuration_manager.batch_size
             self.local_oversample = self.config.oversample_foreground_percent
-            # use as many devices as evenly divide the batch
-            n_dev = math.gcd(self.global_batch_size, jax.device_count())
-            self.mesh = get_data_mesh(num_devices=max(1, n_dev))
+            mp = int(os.environ.get("NNUZOO_MODEL_PARALLEL",
+                                    self.config.model_parallel))
+            if mp > 1:
+                # combined data + channel-wise tensor parallelism over a
+                # ('data', 'model') mesh: wide weights sharded over 'model',
+                # GSPMD inserts the collectives. Params are placed with their
+                # tensor shardings BEFORE optimizer init so the optimizer
+                # state inherits the layout.
+                from ..parallel.mesh import (get_2d_mesh,
+                                             shard_params_channelwise)
+                assert jax.device_count() % mp == 0, \
+                    f"model_parallel={mp} must divide {jax.device_count()} devices"
+                avail = jax.device_count() // mp
+                n_data = max(1, math.gcd(self.global_batch_size, avail))
+                self.mesh = get_2d_mesh(n_data, mp)
+                params, _ = shard_params_channelwise(params, self.mesh)
+                opt_state = self.tx.init(params)
+                self.state = {"params": params, "opt_state": opt_state,
+                              "step": jnp.zeros((), jnp.int32)}
+                self.print_to_log_file(
+                    f"tensor parallelism: mesh data={n_data} x model={mp}")
+            else:
+                # use as many devices as evenly divide the batch
+                n_dev = math.gcd(self.global_batch_size, jax.device_count())
+                self.mesh = get_data_mesh(num_devices=max(1, n_dev))
         self._build_step_fns()
         n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
         self.print_to_log_file(

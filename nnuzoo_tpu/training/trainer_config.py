@@ -44,6 +44,10 @@ class TrainerConfig:
     # (mirrors the reference enabling autocast only on cuda,
     # nnUNetTrainer.py:1128). NNUZOO_BF16=0/1 overrides.
     use_bf16: bool = None
+    # tensor parallelism: size of the 'model' mesh axis (1 = pure data
+    # parallel). Channel-wise GSPMD sharding of wide weights; single-process
+    # only. NNUZOO_MODEL_PARALLEL overrides.
+    model_parallel: int = 1
 
 
 _ZOO = TrainerConfig(num_epochs=250, initial_lr=1e-4, weight_decay=5e-2,

@@ -158,3 +158,40 @@ def test_2d_mesh_channelwise_tp():
         y = jax.jit(lambda p, x: x @ p["wide"])(sharded, x)
     assert y.shape == (8, 256)
     assert np.isfinite(np.asarray(y)).all()
+
+
+def test_trainer_tensor_parallel(tmp_path, monkeypatch):
+    """Trainer with NNUZOO_MODEL_PARALLEL=2 trains on a ('data','model') mesh
+    (virtual 8-device CPU): loss finite + decreasing, checkpoint written."""
+    from dataclasses import replace
+
+    import numpy as np
+
+    from .helpers import make_synthetic_dataset, set_paths
+    raw, pp, res = set_paths(tmp_path)
+    make_synthetic_dataset(raw, num_cases=4, shape=(24, 24, 12))
+    from nnuzoo_tpu.planning.api import (extract_fingerprints, plan_experiments,
+                                         preprocess)
+    extract_fingerprints([999], num_processes=1)
+    plan_experiments([999])
+    from nnuzoo_tpu.utilities.io import join, load_json, save_json
+    plans_file = join(pp, "Dataset999_Synth", "nnUNetPlans.json")
+    plans = load_json(plans_file)
+    plans["configurations"]["2d"]["patch_size"] = [16, 16]
+    plans["configurations"]["2d"]["batch_size"] = 4
+    save_json(plans, plans_file, sort_keys=False)
+    preprocess([999], configurations=("2d",), num_processes=(1,))
+
+    monkeypatch.setenv("NNUZOO_MODEL_PARALLEL", "2")
+    from nnuzoo_tpu.training.trainer import Trainer
+    dataset_json = load_json(join(pp, "Dataset999_Synth", "dataset.json"))
+    trainer = Trainer(plans, "2d", fold=0, dataset_json=dataset_json)
+    trainer.config = replace(trainer.config, num_epochs=1,
+                             num_iterations_per_epoch=4,
+                             num_val_iterations_per_epoch=1)
+    trainer.run_training()
+    assert trainer.mesh.shape == {"data": 4, "model": 2}
+    losses = trainer.logger.my_fantastic_logging["train_losses"]
+    assert np.isfinite(losses).all()
+    import os
+    assert os.path.isfile(join(trainer.output_folder, "checkpoint_final.pth"))
