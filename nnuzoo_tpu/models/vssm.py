@@ -38,9 +38,15 @@ class PatchMerging2D(nn.Module):
     def __call__(self, x):
         s = self.scale
         out_features = self.output_features or self.input_dim * s
+        # odd spatial dims are truncated to floor(dim/scale), reference
+        # `m2net.py:249-265` SHAPE_FIX behavior
+        H, W = x.shape[1], x.shape[2]
+        fh, fw = H // s, W // s
         # same sub-patch order as the reference: (0,0), (1,0), (0,1), (1,1)
         parts = [x[:, 0::s, 0::s, :], x[:, 1::s, 0::s, :],
                  x[:, 0::s, 1::s, :], x[:, 1::s, 1::s, :]]
+        if H % s or W % s:
+            parts = [p[:, :fh, :fw, :] for p in parts]
         x = jnp.concatenate(parts, -1)
         x = nn.LayerNorm(name="norm")(x)
         return nn.Dense(out_features, use_bias=False, name="reduction")(x)

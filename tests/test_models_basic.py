@@ -163,3 +163,19 @@ class TestDropPathAndShiftMasks:
         ye1 = blk.apply(p, x, False)
         ye2 = blk.apply(p, x, False)
         np.testing.assert_array_equal(np.asarray(ye1), np.asarray(ye2))
+
+
+def test_patch_merging_odd_dims_truncate():
+    """PatchMerging2D on odd spatial dims truncates to floor(dim/scale)
+    (reference `m2net.py:249-265` SHAPE_FIX)."""
+    from nnuzoo_tpu.models.vssm import PatchMerging2D
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 7, 9, 4)
+                    .astype(np.float32))
+    pm = PatchMerging2D(4, 2)
+    p = pm.init(jax.random.PRNGKey(0), x)
+    y = pm.apply(p, x)
+    assert y.shape == (1, 3, 4, 8)
+    # even dims unchanged behavior
+    x2 = x[:, :6, :8]
+    y2 = pm.apply(p, x2)
+    assert y2.shape == (1, 3, 4, 8)
