@@ -64,15 +64,17 @@ class _DistributedOutConv(nn.Module):
     @nn.compact
     def __call__(self, sides, full_res):
         nc = self.num_classes
+        dim = len(full_res)
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
-                            (1, 1, len(sides) * nc, nc))
+                            (*(1,) * dim, len(sides) * nc, nc))
         bias = self.param("bias", nn.initializers.zeros, (nc,))
+        k2d = kernel.reshape(len(sides) * nc, nc)
         out = None
         for i, d in enumerate(sides):
-            w = kernel[0, 0, i * nc:(i + 1) * nc, :]
-            e = jnp.einsum("bhwc,cd->bhwd", d, w)
-            if d.shape[1:3] != full_res:
-                e = resize_linear(e, full_res, 2)
+            w = k2d[i * nc:(i + 1) * nc, :]
+            e = jnp.einsum("...c,cd->...d", d, w)
+            if tuple(d.shape[1:-1]) != tuple(full_res):
+                e = resize_linear(e, full_res, dim)
             out = e if out is None else out + e
         return out + bias
 

@@ -21,16 +21,18 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from .attention import SwinBlock, ViTBlock
+from .layers import DropPath
 from .mamba import Mamba2Block, MambaBlock, RMSNorm
 from .ss2d import VSSBlock
 from .ssnd import SSND
 
 
 class _TokenBlock(nn.Module):
-    """LN -> token mixer over flattened spatial -> residual."""
+    """LN -> token mixer over flattened spatial -> DropPath -> residual."""
     mixer: str
     dim: int
     block_index: int = 0
+    drop_path: float = 0.0
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -38,9 +40,11 @@ class _TokenBlock(nn.Module):
         spatial = x.shape[1:-1]
         C = x.shape[-1]
         flat = x.reshape(B, -1, C)
+        dp = DropPath(self.drop_path, name="drop_path")
         if self.mixer == "vit":
-            out = ViTBlock(num_heads=max(1, C // 32), name="vit")(flat,
-                                                                  train=train)
+            out = ViTBlock(num_heads=max(1, C // 32),
+                           drop_path=self.drop_path, name="vit")(flat,
+                                                                 train=train)
             return out.reshape(B, *spatial, C)
         if self.mixer == "mamba_alt":
             h = nn.LayerNorm(name="norm")(flat)
@@ -50,11 +54,13 @@ class _TokenBlock(nn.Module):
             h = MambaBlock(d_model=C, name="mamba")(h)
             if reverse:
                 h = jnp.flip(h, 1)
-            return (flat + h).reshape(B, *spatial, C)
+            return (flat + dp(h, deterministic=not train)).reshape(
+                B, *spatial, C)
         if self.mixer == "mamba2":
             h = nn.LayerNorm(name="norm")(flat)
             h = Mamba2Block(d_model=C, headdim=min(64, C), name="mamba2")(h)
-            return (flat + h).reshape(B, *spatial, C)
+            return (flat + dp(h, deterministic=not train)).reshape(
+                B, *spatial, C)
         if self.mixer == "mamba_nd":
             h = RMSNorm(name="norm")(flat)
             reverse = self.block_index % 2 == 1
@@ -63,35 +69,44 @@ class _TokenBlock(nn.Module):
             h = MambaBlock(d_model=C, name="mamba")(h)
             if reverse:
                 h = jnp.flip(h, 1)
-            return (flat + h).reshape(B, *spatial, C)
+            return (flat + dp(h, deterministic=not train)).reshape(
+                B, *spatial, C)
         raise ValueError(f"unknown token mixer {self.mixer}")
 
 
 class MixerLayer(nn.Module):
     """Depth x mixer blocks on a channels-last feature map (drop-in for the
-    VSSLayer slot in the MU scaffold)."""
+    VSSLayer slot in the MU scaffold). ``drop_path`` = stochastic-depth rate
+    for every block in this layer (the reference X2Net cores all use DropPath:
+    `ssnd2net.py:533` rate 0.2, `swt2net.py:436` linspace, `mamba_nd2net.py`
+    Block drop_path)."""
     dim: int
     depth: int
     mixer: str = "ss2d"
     d_state: int = 16
     spatial_dims: int = 2
+    drop_path: float = 0.0
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         for i in range(self.depth):
             if self.mixer == "ss2d":
-                x = VSSBlock(self.dim, self.d_state, name=f"block{i}")(x,
-                                                                       train=train)
+                x = VSSBlock(self.dim, self.d_state, self.drop_path,
+                             name=f"block{i}")(x, train=train)
             elif self.mixer == "ssnd":
-                x = x + SSND(self.dim, spatial_dims=self.spatial_dims,
-                             d_state=self.d_state, name=f"block{i}")(
+                branch = SSND(self.dim, spatial_dims=self.spatial_dims,
+                              d_state=self.d_state, name=f"block{i}")(
                     nn.LayerNorm(epsilon=1e-6, name=f"ln{i}")(x), train=train)
+                x = x + DropPath(self.drop_path, name=f"drop_path{i}")(
+                    branch, deterministic=not train)
             elif self.mixer == "swin":
                 window = 7
                 x = SwinBlock(num_heads=max(1, self.dim // 32), window=window,
                               shift=0 if i % 2 == 0 else window // 2,
+                              drop_path=self.drop_path,
                               name=f"block{i}")(x, train=train)
             else:
                 x = _TokenBlock(self.mixer, self.dim, block_index=i,
+                                drop_path=self.drop_path,
                                 name=f"block{i}")(x, train=train)
         return x

@@ -22,6 +22,7 @@ import numpy as np
 from .layers import max_pool, resize_linear
 from .mixers import MixerLayer
 from .registry import register_model
+from .m2net import _DistributedOutConv
 from .u2net import REBNCONV, RSU4F
 from .vssm import PatchEmbed2D
 
@@ -122,12 +123,18 @@ class MUND(nn.Module):
     mixer: str = "ss2d"
     spatial_dims: int = 2
     d_state: int = 16
+    drop_path_rate: float = 0.2  # reference X2Net cores (`ssnd2net.py:533`)
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         dim = self.spatial_dims
         feats = [self.mid_ch] * self.n_layers
         n = self.n_layers
+        # stochastic depth: 0 -> rate over the encoder, rate -> 0 over the
+        # decoder (same decay rule as the M2Net MU, `m2net.py:397,628`)
+        enc_dpr = [self.drop_path_rate * i / max(1, n - 1) for i in range(n)]
+        dec_dpr = [self.drop_path_rate * (n - 1 - s) / max(1, n - 2)
+                   for s in range(1, n)]
 
         hxin = REBNCONV(self.out_ch, 1, dim, name="rebnconvin")(x)
         # patch embed (patch 1): 1x1 conv + LN
@@ -137,7 +144,7 @@ class MUND(nn.Module):
         skips = []
         for i in range(n):
             h = MixerLayer(feats[i], 1, self.mixer, self.d_state, dim,
-                           name=f"layer{i}")(h, train=train)
+                           enc_dpr[i], name=f"layer{i}")(h, train=train)
             skips.append(h)
             if i < n - 2:  # skip_last_downsample
                 h = PatchMergingND(feats[i], (2,) * dim, feats[i + 1],
@@ -152,7 +159,7 @@ class MUND(nn.Module):
             h = jnp.concatenate([h, skips[-(s + 1)]], -1)
             h = nn.Dense(feats[-(s + 1)], name=f"concat_back{s - 1}")(h)
             h = MixerLayer(feats[-(s + 1)], 1, self.mixer, self.d_state, dim,
-                           name=f"dec{s - 1}")(h, train=train)
+                           dec_dpr[s - 1], name=f"dec{s - 1}")(h, train=train)
         out = nn.Dense(self.out_ch, name="head_dense")(nn.LayerNorm(
             name="head_norm")(h))
         out = nn.Conv(self.out_ch, (1,) * dim, name="seg")(out)
@@ -217,9 +224,8 @@ class X2Net(nn.Module):
         for i, f in enumerate(feats):
             sides.append(nn.Conv(self.num_classes, (3,) * dim, padding="SAME",
                                  name=f"side{i + 1}")(f))
-        cat = jnp.concatenate(
-            [sides[0]] + [resize_linear(d, full_res, dim) for d in sides[1:]], -1)
-        d0 = nn.Conv(self.num_classes, (1,) * dim, name="outconv")(cat)
+        d0 = _DistributedOutConv(self.num_classes, name="outconv")(
+            sides, full_res)
 
         outs = [d0] + sides
         outs = [o.astype(jnp.float32) for o in outs]
