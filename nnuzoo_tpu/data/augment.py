@@ -478,24 +478,33 @@ def _random_binary_operation(key, x, radius_max: int):
         x)
 
 
-def _remove_random_component(key, x, max_frac: float = 0.15, n_iter: int = 24):
+def _remove_random_component(key, x, max_frac: float = 0.15):
     """Remove the connected component containing a random foreground voxel if
     it covers < max_frac of the volume (reference
     RemoveRandomConnectedComponentFromOneHotEncodingTransform,
-    `cascade_transforms.py:40-86`). The component is extracted by a flood fill
-    of ``n_iter`` 3^d dilate-and-mask steps, so components with geodesic radius
-    > n_iter are truncated (they are also the ones the size guard skips)."""
+    `cascade_transforms.py:40-86`). The component is extracted EXACTLY by a
+    flood fill (3^d dilate-and-mask) iterated to its fixpoint with a
+    ``lax.while_loop``, matching scipy's exact labeling regardless of the
+    component's geodesic radius. Each dilation grows the frontier by >=1 voxel
+    until convergence, so the loop runs component-radius iterations."""
     has_fg = jnp.sum(x) > 0
     flat = x.reshape(-1)
     seed_idx = jax.random.categorical(
         key, jnp.where(flat > 0, 0.0, -jnp.inf))
     seed = jnp.zeros_like(flat).at[seed_idx].set(1.0).reshape(x.shape)
+    seed = jnp.minimum(seed, x)  # empty-fg: start (and stay) all-zero
     box = jnp.ones((3,) * x.ndim, jnp.float32)
 
-    def body(_, comp):
-        return jnp.minimum(_dilate(comp, box), x)
+    def cond(state):
+        comp, prev_n = state
+        return jnp.sum(comp) > prev_n
 
-    comp = jax.lax.fori_loop(0, n_iter, body, seed)
+    def body(state):
+        comp, _ = state
+        return jnp.minimum(_dilate(comp, box), x), jnp.sum(comp)
+
+    comp, _ = jax.lax.while_loop(cond, body,
+                                 (seed, jnp.asarray(-1.0, seed.dtype)))
     small = jnp.sum(comp) < max_frac * x.size
     return jnp.where(has_fg & small, x * (1.0 - comp), x)
 

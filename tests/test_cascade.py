@@ -124,6 +124,28 @@ class TestCascadeNoise:
             jax.random.PRNGKey(0), jnp.asarray(empty)))
         np.testing.assert_array_equal(out, empty)
 
+    def test_remove_component_exact_beyond_radius_24(self):
+        """The flood fill must be EXACT (fixpoint while_loop), not truncated at
+        a fixed iteration budget: a serpentine component with geodesic radius
+        ~200 must be removed whole, matching scipy's exact labeling."""
+        import jax
+        import jax.numpy as jnp
+        from scipy import ndimage
+        from nnuzoo_tpu.data.augment import _remove_random_component
+
+        x = np.zeros((96, 96), np.float32)
+        for i, row in enumerate(range(1, 95, 8)):  # snake: long thin path
+            x[row, 1:95] = 1
+            if row + 8 < 96:
+                x[row:row + 9, 94 if i % 2 == 0 else 1] = 1
+        n_fg = x.sum()
+        assert n_fg < 0.15 * x.size  # below the size guard
+        labeled, n = ndimage.label(x > 0, structure=np.ones((3, 3)))
+        assert n == 1  # single component, so any random seed lands inside it
+        out = np.asarray(_remove_random_component(
+            jax.random.PRNGKey(0), jnp.asarray(x)))
+        np.testing.assert_array_equal(out, np.zeros_like(x))
+
     def test_onehot_noise_stays_onehot(self):
         import jax
         import jax.numpy as jnp
