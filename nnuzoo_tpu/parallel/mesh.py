@@ -96,13 +96,16 @@ def get_2d_mesh(n_data: int, n_model: int, devices=None) -> Mesh:
 
 
 def shard_params_channelwise(params, mesh: Mesh, axis: str = "model",
-                             min_size: int = 128):
+                             min_size: int = 64):
     """Channel-wise tensor parallelism via GSPMD: shard each weight's LAST
     (output-feature) dimension over ``axis`` when it divides evenly and is
     large enough to be worth splitting; everything else is replicated. XLA's
     partitioner inserts the all-gathers / reduce-scatters — this is the
     sharding-annotation (not hand-collective) route the scaling playbook
     prescribes for conv/dense channel sharding.
+
+    ``min_size=64`` keeps the flagship in scope: M2NetP's widest weights are
+    64/128 output channels (conv stems, in_proj, PatchMerging reductions).
 
     Returns (sharded_params, shardings_pytree) — the shardings are reusable as
     jit in/out shardings.
@@ -116,6 +119,15 @@ def shard_params_channelwise(params, mesh: Mesh, axis: str = "model",
                 mesh, PartitionSpec(*([None] * (p.ndim - 1) + [axis])))
         return NamedSharding(mesh, PartitionSpec())
 
+    def put(p, sh):
+        if jax.process_count() == 1:
+            return jax.device_put(p, sh)
+        # multi-host: every process holds the full (replicated) value; build
+        # the globally-sharded array from local slices
+        host = np.asarray(p)
+        return jax.make_array_from_callback(host.shape, sh,
+                                            lambda idx: host[idx])
+
     shardings = jax.tree.map(spec_for, params)
-    sharded = jax.tree.map(jax.device_put, params, shardings)
+    sharded = jax.tree.map(put, params, shardings)
     return sharded, shardings

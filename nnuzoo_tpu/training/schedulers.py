@@ -63,3 +63,45 @@ def per_step(epoch_schedule: Callable, steps_per_epoch: int) -> Callable:
     def schedule(step):
         return epoch_schedule(step // steps_per_epoch)
     return schedule
+
+
+def continued_poly_lr_with_warmup(initial_lr: float, total_epochs: int,
+                                  warmup_epochs: int, start_epoch: int = 0,
+                                  warmup_lr: float = 1e-5,
+                                  final_lr: float = 1e-5,
+                                  exponent: float = 0.9) -> Callable:
+    """Reference ``ContinuedPolyLRSchedulerWithWarmup`` (`polylr.py:28-73`):
+    linear warmup from ``warmup_lr`` over ``warmup_epochs`` starting at
+    ``start_epoch``, then poly decay to ``final_lr`` at ``total_epochs``."""
+    def schedule(epoch):
+        warm = warmup_lr + (initial_lr - warmup_lr) * (
+            jnp.maximum(epoch - start_epoch, 0) / max(warmup_epochs, 1))
+        decay_steps = max(total_epochs - start_epoch - warmup_epochs, 1)
+        adjusted = epoch - start_epoch - warmup_epochs
+        decayed = final_lr + (initial_lr - final_lr) * (
+            1 - jnp.clip(adjusted, 0, decay_steps) / decay_steps) ** exponent
+        return jnp.where(epoch < warmup_epochs + start_epoch, warm, decayed)
+    return schedule
+
+
+def finetune_double_warmup_lr(initial_lr: float, num_epochs: int,
+                              freeze_encoder_epochs: int,
+                              encoder_warmup_epochs: int,
+                              decoder_warmup_epochs: int) -> Callable:
+    """The FineTuneDecoderWarmUp trainer's two-phase schedule (reference
+    `nnUNetTrainerFineTuneDecoderWarmUp.py:36-140`): while the encoder is
+    frozen, a ContinuedPoly over [0, freeze) with the encoder warmup; once
+    unfrozen, a fresh ContinuedPoly starting at ``freeze_encoder_epochs``
+    with the decoder warmup over the full run."""
+    phase1 = continued_poly_lr_with_warmup(
+        initial_lr, total_epochs=freeze_encoder_epochs,
+        warmup_epochs=encoder_warmup_epochs, start_epoch=0)
+    phase2 = continued_poly_lr_with_warmup(
+        initial_lr, total_epochs=num_epochs,
+        warmup_epochs=decoder_warmup_epochs,
+        start_epoch=freeze_encoder_epochs)
+
+    def schedule(epoch):
+        return jnp.where(epoch < freeze_encoder_epochs,
+                         phase1(epoch), phase2(epoch))
+    return schedule

@@ -233,6 +233,11 @@ class Trainer:
         elif cfg.scheduler == "cosine":
             epoch_sched = cosine_annealing(cfg.initial_lr, cfg.num_epochs,
                                            cfg.cosine_eta_min)
+        elif cfg.scheduler == "finetune_warmup":
+            from .schedulers import finetune_double_warmup_lr
+            epoch_sched = finetune_double_warmup_lr(
+                cfg.initial_lr, cfg.num_epochs, cfg.freeze_encoder_epochs,
+                cfg.encoder_warmup_epochs, cfg.decoder_warmup_epochs)
         else:
             raise RuntimeError(f"unknown scheduler {cfg.scheduler}")
         self._epoch_schedule = epoch_sched
@@ -286,15 +291,35 @@ class Trainer:
         # is split across processes, per-process oversample adjusted so the
         # globally-last 33% are the force-fg samples (nnUNetTrainer.py:410-453)
         import math
+        mp_all = int(os.environ.get("NNUZOO_MODEL_PARALLEL",
+                                    self.config.model_parallel))
         if jax.process_count() > 1:
+            assert jax.device_count() % mp_all == 0, (
+                f"model_parallel={mp_all} must divide {jax.device_count()}")
+            n_data_global = jax.device_count() // mp_all
             self.global_batch_size, self.local_batch_size, self.local_oversample = \
                 shard_global_batch(self.configuration_manager.batch_size,
-                                   self.config.oversample_foreground_percent)
+                                   self.config.oversample_foreground_percent,
+                                   n_devices=n_data_global)
             if self.global_batch_size != self.configuration_manager.batch_size:
                 self.print_to_log_file(
                     f"global batch rounded {self.configuration_manager.batch_size}"
                     f" -> {self.global_batch_size} (device-count multiple)")
-            self.mesh = get_data_mesh()  # all devices across all processes
+            if mp_all > 1:
+                # combined dp+tp across processes: ('data', 'model') mesh over
+                # ALL devices, wide weights sharded over 'model'
+                from ..parallel.mesh import (get_2d_mesh,
+                                             shard_params_channelwise)
+                self.mesh = get_2d_mesh(n_data_global, mp_all)
+                params, _ = shard_params_channelwise(params, self.mesh)
+                opt_state = self.tx.init(params)
+                self.state = {"params": params, "opt_state": opt_state,
+                              "step": jnp.zeros((), jnp.int32)}
+                self.print_to_log_file(
+                    f"multi-host tensor parallelism: mesh "
+                    f"data={n_data_global} x model={mp_all}")
+            else:
+                self.mesh = get_data_mesh()  # all devices across all processes
         else:
             self.global_batch_size = self.local_batch_size = \
                 self.configuration_manager.batch_size
@@ -355,6 +380,20 @@ class Trainer:
             return fn(outputs[0], targets[0])
         weights = get_deep_supervision_weights(len(outputs))
         return deep_supervision_loss(fn, outputs, targets[:len(outputs)], weights)
+
+    @staticmethod
+    def _encoder_freeze_mask(params):
+        """Static boolean pytree marking encoder params of the X2Net family:
+        the reference freezes stage1..6 + patch_merging1..4 (`m2net.py:958-971`,
+        pool56 has no params)."""
+        import re
+        from jax.tree_util import tree_map_with_path
+        pat = re.compile(r"^(stage[1-6]|patch_merging[1-4])$")
+
+        def is_enc(path, _):
+            return any(pat.match(str(getattr(k, "key", "")))
+                       for k in path)
+        return tree_map_with_path(is_enc, params)
 
     def _build_step_fns(self):
         model = self.model
@@ -417,6 +456,22 @@ class Trainer:
             self._val_step_fn = jax.jit(ssl_val_step)
             return
 
+        # FineTuneDecoderWarmUp: zero encoder grads AND updates while
+        # step < freeze_steps (reference freezes via requires_grad=False, so
+        # frozen params get neither gradient nor weight-decay updates)
+        freeze_steps = (self.config.freeze_encoder_epochs *
+                        self.config.num_iterations_per_epoch)
+        enc_mask = self._encoder_freeze_mask(self.state["params"]) \
+            if freeze_steps else None
+
+        def mask_frozen(tree, step):
+            if not freeze_steps:
+                return tree
+            live = (step >= freeze_steps)
+            return jax.tree.map(
+                lambda t, m: t * live.astype(t.dtype) if m else t,
+                tree, enc_mask)
+
         def train_step(state, data, seg, key):
             aug_key, drop_key = jax.random.split(key)
             data_aug, targets = augment_train_batch(train_cfg, aug_key, data, seg)
@@ -429,7 +484,9 @@ class Trainer:
                 return self._compute_loss(outputs, targets)
 
             loss, grads = jax.value_and_grad(loss_fn)(state["params"])
+            grads = mask_frozen(grads, state["step"])
             updates, new_opt = tx.update(grads, state["opt_state"], state["params"])
+            updates = mask_frozen(updates, state["step"])
             new_params = optax.apply_updates(state["params"], updates)
             return {"params": new_params, "opt_state": new_opt,
                     "step": state["step"] + 1}, loss

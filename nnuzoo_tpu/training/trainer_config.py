@@ -48,6 +48,14 @@ class TrainerConfig:
     # parallel). Channel-wise GSPMD sharding of wide weights; single-process
     # only. NNUZOO_MODEL_PARALLEL overrides.
     model_parallel: int = 1
+    # FineTuneDecoderWarmUp semantics (reference
+    # nnUNetTrainerFineTuneDecoderWarmUp.py:33-140): freeze the encoder for the
+    # first N epochs (zero grads AND zero updates — no weight decay drift),
+    # with a two-phase ContinuedPoly warmup schedule (scheduler =
+    # "finetune_warmup"): encoder_warmup while frozen, decoder_warmup after.
+    freeze_encoder_epochs: int = 0
+    encoder_warmup_epochs: int = 0
+    decoder_warmup_epochs: int = 0
 
 
 _ZOO = TrainerConfig(num_epochs=250, initial_lr=1e-4, weight_decay=5e-2,
@@ -86,10 +94,13 @@ TRAINER_CONFIGS = {
     "nnUNetTrainerMambaND2Net": replace(_ZOO, ds_mode="x2net", num_ds_outputs=7),
 }
 
-# fine-tuning trainer (reference nnUNetTrainerFineTuneDecoderWarmUp): M2Net-style
-# schedule with warmup; encoder freezing is a later-round TODO (optax.masked)
+# fine-tuning trainer (reference nnUNetTrainerFineTuneDecoderWarmUp.py:33-52):
+# AdamW lr 1e-3 wd 5e-2 eps 1e-5, encoder frozen 50 epochs, 25-epoch encoder
+# warmup then a fresh 50-epoch decoder warmup from the unfreeze point
 TRAINER_CONFIGS["nnUNetTrainerFineTuneDecoderWarmUp"] = replace(
-    _ZOO, ds_mode="x2net", num_ds_outputs=7)
+    _ZOO, ds_mode="x2net", num_ds_outputs=7, initial_lr=1e-3,
+    scheduler="finetune_warmup", freeze_encoder_epochs=50,
+    encoder_warmup_epochs=25, decoder_warmup_epochs=50)
 
 _FRACTIONS = {"_05Percent": 0.05, "_10Percent": 0.10, "_25Percent": 0.25,
               "_50Percent": 0.50, "_75Percent": 0.75}
