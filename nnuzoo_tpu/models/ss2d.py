@@ -20,11 +20,28 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops.cross_scan import cross_scan_fused
 from ..ops.selective_scan import selective_scan, selective_scan_blkd
 
 
 def scan_backend() -> Optional[str]:
     return os.environ.get("NNUZOO_SCAN_BACKEND") or None
+
+
+def fused_scan_mode() -> Optional[str]:
+    """Fused cross-scan path selection. NNUZOO_SS2D_FUSED: "1" forces the
+    Pallas kernels, "interpret" forces interpret mode (CPU tests), "0"/unset
+    disables. Currently OPT-IN: the scan kernels are grid-overhead-bound on
+    v5e (5k+ sequential chunk steps at canonical scale), so the two-launch
+    fused variant measured SLOWER than the single legacy launch despite ~3x
+    less HBM traffic (micro: 91 vs 64 ms fwd at stage-1 shape). Flips to
+    default-on when the single-launch bidirectional variant wins."""
+    env = os.environ.get("NNUZOO_SS2D_FUSED")
+    if env == "interpret":
+        return "interpret"
+    if env == "1":
+        return "pallas"
+    return None
 
 
 def centered_uniform(scale):
@@ -82,47 +99,62 @@ class SS2D(nn.Module):
                      name="conv2d")(xpart)
         xc = nn.silu(xc)
 
-        # build the 4 scan orders in (B, L, K, D) layout -- K lives next to the
-        # channel dim so the kernel packs K*D into lanes via a pure reshape
+        # the 2 traversal orders; dirs 2/3 are their reversals
         x_hw = xc.reshape(B, L, d_inner)
         x_wh = jnp.transpose(xc, (0, 2, 1, 3)).reshape(B, L, d_inner)
-        xs = jnp.stack([x_hw, x_wh, jnp.flip(x_hw, 1), jnp.flip(x_wh, 1)], axis=2)
 
-        # per-direction projections
         x_proj_weight = self.param(
             "x_proj_weight", nn.initializers.normal(0.02),
             (K, dt_rank + 2 * N, d_inner))
-        x_dbl = jnp.einsum("blkd,kcd->blkc", xs, x_proj_weight)
-        dts, Bs, Cs = jnp.split(x_dbl, [dt_rank, dt_rank + N], axis=-1)
-
         dt_std = dt_rank ** -0.5
         dt_projs_weight = self.param(
             "dt_projs_weight", centered_uniform(dt_std),
             (K, d_inner, dt_rank))
         dt_projs_bias = self.param("dt_projs_bias", dt_bias_init(), (K, d_inner))
-
-        dts = jnp.einsum("blkr,kdr->blkd", dts, dt_projs_weight)
-
         A_logs = self.param("A_logs", a_log_init(N), (K * d_inner, N))
         Ds = self.param("Ds", nn.initializers.ones, (K * d_inner,))
         A = -jnp.exp(A_logs.astype(jnp.float32))
 
-        out_y = selective_scan_blkd(
-            xs, dts, A, Bs, Cs, D=Ds, delta_bias=dt_projs_bias.reshape(-1),
-            delta_softplus=True, backend=scan_backend())  # (B, L, K, D)
+        fused = fused_scan_mode()
+        if fused is not None:
+            # fused path: projections + softplus + scan + D-term in-kernel;
+            # the reversed directions never materialize (mirrored traversal)
+            kw = dict(backend="pallas", interpret=fused == "interpret")
+            D2 = 2 * d_inner
+            streams = (x_hw, x_wh)
+            y_f = cross_scan_fused(
+                streams, x_proj_weight[:2], dt_projs_weight[:2],
+                dt_projs_bias[:2], A[:D2], Ds[:D2], reverse=False, **kw)
+            y_r = cross_scan_fused(
+                streams, x_proj_weight[2:], dt_projs_weight[2:],
+                dt_projs_bias[2:], A[D2:], Ds[D2:], reverse=True, **kw)
+            ys = y_f + y_r                          # (B, L, [hw | wh])
+            y = ys[..., :d_inner].reshape(B, H, W, d_inner) + \
+                jnp.transpose(ys[..., d_inner:].reshape(B, W, H, d_inner),
+                              (0, 2, 1, 3))
+        else:
+            xs = jnp.stack([x_hw, x_wh, jnp.flip(x_hw, 1), jnp.flip(x_wh, 1)],
+                           axis=2)
+            x_dbl = jnp.einsum("blkd,kcd->blkc", xs, x_proj_weight)
+            dts, Bs, Cs = jnp.split(x_dbl, [dt_rank, dt_rank + N], axis=-1)
+            dts = jnp.einsum("blkr,kdr->blkd", dts, dt_projs_weight)
 
-        # merge the 4 directions back into row-major order
-        y_hw = out_y[:, :, 0]
-        y_wh = out_y[:, :, 1]
-        y_hw_rev = jnp.flip(out_y[:, :, 2], 1)
-        y_wh_rev = jnp.flip(out_y[:, :, 3], 1)
+            out_y = selective_scan_blkd(
+                xs, dts, A, Bs, Cs, D=Ds, delta_bias=dt_projs_bias.reshape(-1),
+                delta_softplus=True, backend=scan_backend())  # (B, L, K, D)
 
-        def wh_to_hw(y):  # (B, L[wh-order], D) -> (B, L[hw-order], D)
-            return jnp.transpose(y.reshape(B, W, H, d_inner),
-                                 (0, 2, 1, 3)).reshape(B, L, d_inner)
+            # merge the 4 directions back into row-major order
+            y_hw = out_y[:, :, 0]
+            y_wh = out_y[:, :, 1]
+            y_hw_rev = jnp.flip(out_y[:, :, 2], 1)
+            y_wh_rev = jnp.flip(out_y[:, :, 3], 1)
 
-        y = y_hw + y_hw_rev + wh_to_hw(y_wh) + wh_to_hw(y_wh_rev)
-        y = y.reshape(B, H, W, d_inner)
+            def wh_to_hw(y):  # (B, L[wh-order], D) -> (B, L[hw-order], D)
+                return jnp.transpose(y.reshape(B, W, H, d_inner),
+                                     (0, 2, 1, 3)).reshape(B, L, d_inner)
+
+            y = y_hw + y_hw_rev + wh_to_hw(y_wh) + wh_to_hw(y_wh_rev)
+            y = y.reshape(B, H, W, d_inner)
         y = nn.LayerNorm(name="out_norm")(y)
         y = y * nn.silu(z)
         out = nn.Dense(self.d_model, use_bias=self.bias, name="out_proj")(y)

@@ -55,44 +55,56 @@ class SSND(nn.Module):
         for order in orders:
             perm = (0,) + tuple(o + 1 for o in order) + (dim + 1,)
             seqs.append(jnp.transpose(xc, perm).reshape(B, L, d_inner))
-        fwd = jnp.stack(seqs, 2)                       # (B, L, dim, D)
-        xs = jnp.concatenate([fwd, jnp.flip(fwd, 1)], 2)  # (B, L, K, D)
 
         x_proj_weight = self.param("x_proj_weight", nn.initializers.normal(0.02),
                                    (K, dt_rank + 2 * N, d_inner))
-        x_dbl = jnp.einsum("blkd,kcd->blkc", xs, x_proj_weight)
-        dts, Bs, Cs = jnp.split(x_dbl, [dt_rank, dt_rank + N], -1)
-        from .ss2d import centered_uniform
+        from .ss2d import centered_uniform, fused_scan_mode
         dt_std = dt_rank ** -0.5
         dt_w = self.param("dt_projs_weight", centered_uniform(dt_std),
                           (K, d_inner, dt_rank))
         dt_b = self.param("dt_projs_bias", dt_bias_init(), (K, d_inner))
-        dts = jnp.einsum("blkr,kdr->blkd", dts, dt_w)
-
         A_logs = self.param("A_logs", a_log_init(N), (K * d_inner, N))
         Ds = self.param("Ds", nn.initializers.ones, (K * d_inner,))
         A = -jnp.exp(A_logs.astype(jnp.float32))
 
-        out_y = selective_scan_blkd(
-            xs, dts, A, Bs, Cs, D=Ds, delta_bias=dt_b.reshape(-1),
-            delta_softplus=True, backend=scan_backend())  # (B, L, K, D)
+        fused = fused_scan_mode()
+        if fused is not None:
+            from ..ops.cross_scan import cross_scan_fused
+            kw = dict(backend="pallas", interpret=fused == "interpret")
+            GD = dim * d_inner
+            y_f = cross_scan_fused(tuple(seqs), x_proj_weight[:dim],
+                                   dt_w[:dim], dt_b[:dim], A[:GD], Ds[:GD],
+                                   reverse=False, **kw)
+            y_r = cross_scan_fused(tuple(seqs), x_proj_weight[dim:],
+                                   dt_w[dim:], dt_b[dim:], A[GD:], Ds[GD:],
+                                   reverse=True, **kw)
+            ys = y_f + y_r                         # (B, L, dim*D), unflipped
+            dir_ys = [ys[..., g * d_inner:(g + 1) * d_inner]
+                      for g in range(dim)]
+        else:
+            fwd = jnp.stack(seqs, 2)                       # (B, L, dim, D)
+            xs = jnp.concatenate([fwd, jnp.flip(fwd, 1)], 2)  # (B, L, K, D)
+            x_dbl = jnp.einsum("blkd,kcd->blkc", xs, x_proj_weight)
+            dts, Bs, Cs = jnp.split(x_dbl, [dt_rank, dt_rank + N], -1)
+            dts = jnp.einsum("blkr,kdr->blkd", dts, dt_w)
 
-        # merge: un-flip the reversed half, un-permute each order
+            out_y = selective_scan_blkd(
+                xs, dts, A, Bs, Cs, D=Ds, delta_bias=dt_b.reshape(-1),
+                delta_softplus=True, backend=scan_backend())  # (B, L, K, D)
+            dir_ys = [out_y[:, :, k] + jnp.flip(out_y[:, :, k + dim], 1)
+                      for k in range(dim)]
+
+        # merge: un-permute each axis order back to (z)hw
         y = 0
         for k, order in enumerate(orders):
             inv = [0] * dim
             for i, o in enumerate(order):
                 inv[o] = i
-            for flip in (False, True):
-                yk = out_y[:, :, k + (dim if flip else 0)]  # (B, L, D)
-                if flip:
-                    yk = jnp.flip(yk, 1)
-                permuted_spatial = tuple(spatial[o] for o in order)
-                yk = yk.reshape(B, *permuted_spatial, d_inner)
-                perm_back = (0,) + tuple(1 + inv[i] for i in range(dim)) + \
-                    (dim + 1,)
-                yk = jnp.transpose(yk, perm_back).reshape(B, L, d_inner)
-                y = y + yk
+            permuted_spatial = tuple(spatial[o] for o in order)
+            yk = dir_ys[k].reshape(B, *permuted_spatial, d_inner)
+            perm_back = (0,) + tuple(1 + inv[i] for i in range(dim)) + \
+                (dim + 1,)
+            y = y + jnp.transpose(yk, perm_back).reshape(B, L, d_inner)
 
         y = y.reshape(B, *spatial, d_inner)
         y = nn.LayerNorm(name="out_norm")(y)

@@ -300,13 +300,16 @@ def _bwd_kernel(u_ref, delta_ref, a_mat_ref, bc_ref, dy_ref, carry_ref,
 
 def _pick_chunk(L: int, dstate: int, dim: int) -> int:
     """Largest power-of-two chunk with ~6 (T, N, KD) fp32 tiles under ~8 MB VMEM,
-    capped at 128: the unrolled in-chunk scan at T=256 blows up the Mosaic
-    compiler (observed helper crashes). Tiles are lane-padded to 128 internally,
-    so budget with max(dim, 128)."""
+    capped at 128 by default (the unrolled in-chunk scan at T=256 blew up the
+    Mosaic compiler in earlier revisions; override the cap for experiments with
+    NNUZOO_SCAN_CHUNK). Tiles are lane-padded to 128 internally, so budget with
+    max(dim, 128)."""
+    import os
+    cap = int(os.environ.get("NNUZOO_SCAN_CHUNK", "128"))
     budget = 8 * 1024 * 1024
     t = budget // max(1, 6 * dstate * max(dim, 128) * 4)
     t = 2 ** int(math.floor(math.log2(max(t, 8))))
-    return int(max(8, min(t, 128, L)))
+    return int(max(8, min(t, cap, L)))
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(4,))

@@ -195,3 +195,87 @@ def test_trainer_tensor_parallel(tmp_path, monkeypatch):
     assert np.isfinite(losses).all()
     import os
     assert os.path.isfile(join(trainer.output_folder, "checkpoint_final.pth"))
+
+
+def test_pallas_cross_scan_under_sharded_jit(rng):
+    """The fused Pallas cross-scan (interpret mode) composes with GSPMD: grads
+    through the custom-VJP kernel under a ('data','model') mesh with the batch
+    sharded over 'data' match the XLA oracle."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+    from nnuzoo_tpu.ops.cross_scan import cross_scan_fused, cross_scan_ref
+
+    mesh = Mesh(np.array(jax.devices()).reshape(4, 2), ("data", "model"))
+    B, L, Dh, N, R, G = 8, 128, 8, 4, 2, 2
+    streams = tuple(jnp.asarray(rng.randn(B, L, Dh).astype(np.float32))
+                    for _ in range(G))
+    wx = jnp.asarray(rng.randn(G, R + 2 * N, Dh).astype(np.float32)) * 0.2
+    wdt = jnp.asarray(rng.randn(G, Dh, R).astype(np.float32)) * 0.2
+    dtb = jnp.asarray(rng.randn(G, Dh).astype(np.float32)) * 0.1
+    A = -jnp.exp(jnp.asarray(rng.rand(G * Dh, N).astype(np.float32)))
+    Ds = jnp.asarray(rng.rand(G * Dh).astype(np.float32))
+    bs = NamedSharding(mesh, PartitionSpec("data"))
+    sh_streams = tuple(jax.device_put(s, bs) for s in streams)
+
+    def loss(st):
+        return jnp.sum(cross_scan_fused(st, wx, wdt, dtb, A, Ds, reverse=True,
+                                        backend="pallas", interpret=True) ** 2)
+
+    with mesh:
+        g = jax.jit(jax.grad(loss))(sh_streams)
+    g_ref = jax.grad(lambda st: jnp.sum(
+        cross_scan_ref(st, wx, wdt, dtb, A, Ds, True) ** 2))(streams)
+    for a, b in zip(g, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_trainer_tensor_parallel_flagship(tmp_path, monkeypatch):
+    """The FLAGSHIP (M2NetP) trains under NNUZOO_MODEL_PARALLEL=2 on the
+    ('data','model') mesh with >0 tensor-sharded weights (VERDICT r2 item 4)."""
+    from dataclasses import replace
+
+    import jax
+
+    from .helpers import make_synthetic_dataset, set_paths
+    raw, pp, res = set_paths(tmp_path)
+    make_synthetic_dataset(raw, num_cases=4, shape=(72, 72, 8))
+    from nnuzoo_tpu.planning.api import (extract_fingerprints, plan_experiments,
+                                         preprocess)
+    extract_fingerprints([999], num_processes=1)
+    plan_experiments([999])
+    from nnuzoo_tpu.utilities.io import join, load_json, save_json
+    plans_file = join(pp, "Dataset999_Synth", "nnUNetPlans.json")
+    plans = load_json(plans_file)
+    plans["configurations"]["2d"]["patch_size"] = [64, 64]
+    plans["configurations"]["2d"]["batch_size"] = 4
+    save_json(plans, plans_file, sort_keys=False)
+    preprocess([999], configurations=("2d",), num_processes=(1,))
+
+    monkeypatch.setenv("NNUZOO_MODEL_PARALLEL", "2")
+    from nnuzoo_tpu.training.trainer import Trainer
+    dataset_json = load_json(join(pp, "Dataset999_Synth", "dataset.json"))
+    trainer = Trainer(plans, "2d", fold=0, dataset_json=dataset_json,
+                      trainer_name="nnUNetTrainerM2NetP")
+    trainer.config = replace(trainer.config, num_epochs=1,
+                             num_iterations_per_epoch=2,
+                             num_val_iterations_per_epoch=1)
+    trainer.initialize()
+    assert trainer.mesh.shape == {"data": 4, "model": 2}
+
+    def uses_model_axis(p):
+        for ax in getattr(p.sharding, "spec", ()):
+            axes = ax if isinstance(ax, tuple) else (ax,)
+            if "model" in axes:
+                return True
+        return False
+
+    n_tp = sum(1 for p in jax.tree.leaves(trainer.state["params"])
+               if uses_model_axis(p))
+    assert n_tp > 0, "no tensor-sharded params on the flagship"
+    trainer.on_train_start()
+    trainer.train_epoch()
+    losses = trainer.logger.my_fantastic_logging["train_losses"]
+    assert np.isfinite(losses).all()
