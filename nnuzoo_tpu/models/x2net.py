@@ -234,8 +234,9 @@ class X2Net(nn.Module):
 
 # --------------------------------------------------------------------- factories
 _MIXER_BY_TRAINER = {
-    "nnUNetTrainerSwT2Net": ("swin", 2),
-    "nnUNetTrainerUNETR2Net": ("vit", 2),
+    # nnUNetTrainerSwT2Net registers in swt2net.py (per-stage mini Swin-Unets)
+    # nnUNetTrainerUNETR2Net registers in unetr2net.py (per-stage patchified
+    # mini-UNETRs, not a token-mixer MUND)
     "nnUNetTrainerLM2Net": ("mamba_alt", None),       # 2d/3d
     "nnUNetTrainerLightMamba2Net": ("mamba2", None),
     "nnUNetTrainerSSND2Net": ("ssnd", None),

@@ -11,6 +11,8 @@ from . import x2net  # noqa: F401
 from . import seg_mamba  # noqa: F401
 from . import swin_umamba  # noqa: F401
 from . import swt  # noqa: F401
+from . import swt2net  # noqa: F401
 from . import u2net  # noqa: F401
 from . import u2net_multi  # noqa: F401
 from . import unetr  # noqa: F401
+from . import unetr2net  # noqa: F401

@@ -141,24 +141,33 @@ def dice_bce_loss(logits: jnp.ndarray, target: jnp.ndarray, batch_dice: bool,
     return weight_ce * bce + weight_dice * dc
 
 
-def get_deep_supervision_weights(num_outputs: int) -> jnp.ndarray:
+def get_deep_supervision_weights(num_outputs: int):
     """1/2^i per output, lowest set to 0, normalized (reference
-    `nnUNetTrainer.py:470-487`)."""
+    `nnUNetTrainer.py:470-487`). Returns a host numpy array so zero entries
+    are statically known."""
     import numpy as np
     weights = np.array([1 / (2 ** i) for i in range(num_outputs)])
     if num_outputs > 1:
         weights[-1] = 0
-    return jnp.asarray(weights / weights.sum())
+    return weights / weights.sum()
 
 
 def deep_supervision_loss(loss_fn, outputs: Sequence[jnp.ndarray],
                           targets: Sequence[jnp.ndarray],
                           weights: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Zero-weight outputs are SKIPPED, not just scaled: the reference's
+    DeepSupervisionWrapper (`nnunetv2/training/loss/deep_supervision.py:22-30`)
+    never evaluates them — UNETR2Net relies on this (its deepest side output
+    is at 1/16 scale while the zero-weighted deepest target is at 1/32)."""
+    import numpy as np
     if weights is None:
         weights = get_deep_supervision_weights(len(outputs))
+    weights = np.asarray(weights)
     total = 0.0
     for i, (o, t) in enumerate(zip(outputs, targets)):
-        total = total + weights[i] * loss_fn(o, t)
+        if float(weights[i]) == 0.0:
+            continue
+        total = total + float(weights[i]) * loss_fn(o, t)
     return total
 
 
