@@ -305,11 +305,13 @@ def _pick_chunk(L: int, dstate: int, dim: int) -> int:
     NNUZOO_SCAN_CHUNK). Tiles are lane-padded to 128 internally, so budget with
     max(dim, 128)."""
     import os
-    cap = int(os.environ.get("NNUZOO_SCAN_CHUNK", "128"))
+    env = os.environ.get("NNUZOO_SCAN_CHUNK")
+    if env:  # direct override (experiments); still never exceeds L
+        return int(max(8, min(int(env), L)))
     budget = 8 * 1024 * 1024
     t = budget // max(1, 6 * dstate * max(dim, 128) * 4)
     t = 2 ** int(math.floor(math.log2(max(t, 8))))
-    return int(max(8, min(t, cap, L)))
+    return int(max(8, min(t, 128, L)))
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(4,))

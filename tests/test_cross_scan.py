@@ -8,8 +8,7 @@ import pytest
 jax = pytest.importorskip("jax")
 import jax.numpy as jnp  # noqa: E402
 
-from nnuzoo_tpu.ops.cross_scan import cross_scan_ref, _cross_scan_pallas, \
-    cross_scan_fused  # noqa: E402
+from nnuzoo_tpu.ops.cross_scan import cross_scan_ref, cross_scan_fused  # noqa: E402
 from nnuzoo_tpu.ops.selective_scan import _pick_chunk  # noqa: E402
 
 
@@ -31,9 +30,10 @@ def test_fused_matches_oracle_fwd_and_grads(rng, reverse):
     N = A.shape[1]
 
     def fused(streams, wx, wdt, dtb, A, Ds):
-        a_t = jnp.transpose(A, (1, 0))
-        return _cross_scan_pallas(streams, wx, wdt, dtb, a_t,
-                                  Ds.reshape(1, -1), reverse, True)
+        # public wrapper: with G*Dh=16 lanes and B=2, nb=2 batch elements are
+        # lane-packed, so this also covers the packed layout
+        return cross_scan_fused(streams, wx, wdt, dtb, A, Ds, reverse,
+                                backend="pallas", interpret=True)
 
     y_ref = cross_scan_ref(streams, wx, wdt, dtb, A, Ds, reverse)
     y_fused = fused(streams, wx, wdt, dtb, A, Ds)
@@ -72,6 +72,27 @@ def test_padding_path(rng):
                              backend="pallas", interpret=True)
         np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
                                    rtol=2e-5, atol=2e-5)
+
+
+def test_batch_lane_packing_with_pad(rng):
+    """nb does not divide B: the wrapper zero-pads the batch (G*Dh=48 lanes ->
+    nb=2, B=3 -> one padded element). Forward and stream grads must still
+    match the oracle on the real elements."""
+    streams, wx, wdt, dtb, A, Ds = _make_inputs(rng, B=3, Dh=24)
+    for reverse in (False, True):
+        y_ref = cross_scan_ref(streams, wx, wdt, dtb, A, Ds, reverse)
+        y = cross_scan_fused(streams, wx, wdt, dtb, A, Ds, reverse,
+                             backend="pallas", interpret=True)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                                   rtol=2e-5, atol=2e-5)
+    g_ref = jax.grad(lambda s: jnp.sum(
+        cross_scan_ref(s, wx, wdt, dtb, A, Ds, False) ** 2))(streams)
+    g = jax.grad(lambda s: jnp.sum(cross_scan_fused(
+        s, wx, wdt, dtb, A, Ds, False, backend="pallas",
+        interpret=True) ** 2))(streams)
+    for ai, bi in zip(g_ref, g):
+        np.testing.assert_allclose(np.asarray(bi), np.asarray(ai),
+                                   rtol=2e-4, atol=2e-4)
 
 
 def test_ss2d_module_fused_matches_legacy(rng, monkeypatch):
