@@ -146,20 +146,26 @@ class M2NetP(nn.Module):
     # remat only the memory-dominant full/half-resolution stages; the /8-and-
     # deeper stages keep their activations (their recompute cost buys little)
     remat_deep_stages: bool = False
+    # per-stage MU depths (reference `m2net.py:884-940`: 7/6/5/4). Override
+    # only for resource-capped validation runs (e.g. the multi-chip dryrun on
+    # virtual CPU devices, where XLA:CPU's 40 s collective-rendezvous kill
+    # bounds per-device compute between collectives).
+    stage_layers: Sequence[int] = (7, 6, 5, 4)
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         full_res = x.shape[1:3]
+        sl = self.stage_layers
         MU_r, RSU4F_r = _stage_blocks(self.remat)
         MU_s, RSU4F_s = (MU_r, RSU4F_r) if self.remat_deep_stages             else (MU, RSU4F)
 
-        hx1 = MU_r(x.shape[-1], 16, 64, 7, name="stage1")(x, train)
+        hx1 = MU_r(x.shape[-1], 16, 64, sl[0], name="stage1")(x, train)
         hx = PatchMerging2D(64, 2, output_features=64, name="patch_merging1")(hx1)
-        hx2 = MU_r(64, 16, 64, 6, name="stage2")(hx, train)
+        hx2 = MU_r(64, 16, 64, sl[1], name="stage2")(hx, train)
         hx = PatchMerging2D(64, 2, output_features=64, name="patch_merging2")(hx2)
-        hx3 = MU_s(64, 16, 64, 5, name="stage3")(hx, train)
+        hx3 = MU_s(64, 16, 64, sl[2], name="stage3")(hx, train)
         hx = PatchMerging2D(64, 2, output_features=64, name="patch_merging3")(hx3)
-        hx4 = MU_s(64, 16, 64, 4, name="stage4")(hx, train)
+        hx4 = MU_s(64, 16, 64, sl[3], name="stage4")(hx, train)
         hx = PatchMerging2D(64, 2, output_features=64, name="patch_merging4")(hx4)
         hx5 = RSU4F_s(16, 64, name="stage5")(hx)
         hx = _maxpool2_ceil(hx5)
@@ -168,16 +174,16 @@ class M2NetP(nn.Module):
 
         hx5d = RSU4F_s(16, 128, name="stage5d")(jnp.concatenate([hx6up, hx5], -1))
         up = PatchExpand(128, 2, name="patch_expand4d")(hx5d)          # 64 ch
-        hx4d = MU_s(128, 16, 128, 4, name="stage4d")(
+        hx4d = MU_s(128, 16, 128, sl[3], name="stage4d")(
             jnp.concatenate([up, hx4], -1), train)
         up = PatchExpand(128, 2, name="patch_expand3d")(hx4d)
-        hx3d = MU_s(128, 16, 128, 5, name="stage3d")(
+        hx3d = MU_s(128, 16, 128, sl[2], name="stage3d")(
             jnp.concatenate([up, hx3], -1), train)
         up = PatchExpand(128, 2, name="patch_expand2d")(hx3d)
-        hx2d = MU_r(128, 16, 128, 6, name="stage2d")(
+        hx2d = MU_r(128, 16, 128, sl[1], name="stage2d")(
             jnp.concatenate([up, hx2], -1), train)
         up = PatchExpand(128, 2, name="patch_expand1d")(hx2d)
-        hx1d = MU_r(128, 16, 128, 7, name="stage1d")(
+        hx1d = MU_r(128, 16, 128, sl[0], name="stage1d")(
             jnp.concatenate([up, hx1], -1), train)
 
         d1 = nn.Conv(self.num_classes, (3, 3), padding="SAME", name="side1")(hx1d)

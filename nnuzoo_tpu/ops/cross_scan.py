@@ -44,7 +44,7 @@ import jax.numpy as jnp
 
 from jax.ad_checkpoint import checkpoint_name as _checkpoint_name
 
-from .selective_scan import _pick_chunk, selective_scan_blkd
+from .selective_scan import _pick_chunk, _scan_pair, selective_scan_blkd
 
 try:
     from jax.experimental import pallas as pl
@@ -82,24 +82,11 @@ def cross_scan_ref(streams: Sequence[jax.Array], x_proj_weight, dt_weight,
 
 # ------------------------------------------------------------------ kernels
 def _hs(a, b, up: bool):
-    """Hillis-Steele linear-recurrence scan over axis 0.
-
-    up=False (prefix): h_t = a_t h_{t-1} + b_t, h_{-1}=0. up=True (suffix):
-    h_t = a_t h_{t+1} + b_t, h_T=0. Returns (a_cum, b_cum) with
-    h_t = a_cum_t * h_boundary + b_cum_t."""
-    T = a.shape[0]
-    d = 1
-    while d < T:
-        if up:
-            a_sh = jnp.concatenate([a[d:], jnp.ones_like(a[:d])], axis=0)
-            b_sh = jnp.concatenate([b[d:], jnp.zeros_like(b[:d])], axis=0)
-        else:
-            a_sh = jnp.concatenate([jnp.ones_like(a[:d]), a[:-d]], axis=0)
-            b_sh = jnp.concatenate([jnp.zeros_like(b[:d]), b[:-d]], axis=0)
-        b = a * b_sh + b
-        a = a * a_sh
-        d *= 2
-    return a, b
+    """Linear-recurrence scan over axis 0 (hierarchical, see
+    `selective_scan._scan_pair`). up=False (prefix): h_t = a_t h_{t-1} + b_t,
+    h_{-1}=0. up=True (suffix): h_t = a_t h_{t+1} + b_t, h_T=0. Returns
+    (a_cum, b_cum) with h_t = a_cum_t * h_boundary + b_cum_t."""
+    return _scan_pair(a, b, up)
 
 
 def _row(x, i):

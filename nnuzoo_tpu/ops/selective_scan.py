@@ -167,18 +167,69 @@ def selective_scan_xla(u, delta, A, B, C, D=None, z=None, delta_bias=None,
 #   carries  : (B, NL, N, K*Dh) chunk-entry states saved for the backward.
 # K and Dh are static. K=1 recovers the plain (grouped-by-batch) scan.
 
-def _hillis_steele(a, b):
-    """Inclusive scan over axis 0: h_t = a_t*h_{t-1} + b_t with h_-1 = 0.
-    Returns (a_cum, b_cum): h_t = a_cum_t * h_init + b_cum_t."""
+def _hillis_steele(a, b, up: bool = False):
+    """Flat Hillis-Steele scan over axis 0 (fallback for short/ragged T).
+
+    up=False (prefix): h_t = a_t h_{t-1} + b_t. up=True (suffix):
+    h_t = a_t h_{t+1} + b_t. Returns (a_cum, b_cum) with
+    h_t = a_cum_t * h_boundary + b_cum_t."""
     T = a.shape[0]
     d = 1
     while d < T:
-        a_sh = jnp.concatenate([jnp.ones_like(a[:d]), a[:-d]], axis=0)
-        b_sh = jnp.concatenate([jnp.zeros_like(b[:d]), b[:-d]], axis=0)
+        if up:
+            a_sh = jnp.concatenate([a[d:], jnp.ones_like(a[:d])], axis=0)
+            b_sh = jnp.concatenate([b[d:], jnp.zeros_like(b[:d])], axis=0)
+        else:
+            a_sh = jnp.concatenate([jnp.ones_like(a[:d]), a[:-d]], axis=0)
+            b_sh = jnp.concatenate([jnp.zeros_like(b[:d]), b[:-d]], axis=0)
         b = a * b_sh + b
         a = a * a_sh
         d *= 2
     return a, b
+
+
+def _scan_pair(a, b, up: bool = False, seq: int = 16):
+    """Linear-recurrence scan over axis 0, hierarchical.
+
+    Same contract as :func:`_hillis_steele` but ~3x fewer VPU ops at T=128:
+    flat HS costs 3*log2(T) multiply-adds per element plus two full-array
+    shifts per round; here subchunks of ``seq`` positions scan SEQUENTIALLY
+    (vectorized across the T/seq subchunks: 3 ops/element total), the
+    subchunk totals combine with a tiny HS over T/seq entries, and a final
+    broadcast applies the inter-subchunk carries (3 ops/element). The scan
+    kernels are VPU-compute-bound on v5e, so this is a direct step-time cut.
+    """
+    T = a.shape[0]
+    if T <= seq or T % seq:
+        return _hillis_steele(a, b, up)
+    ns = T // seq
+    rest = a.shape[1:]
+    a4 = a.reshape(ns, seq, *rest)
+    b4 = b.reshape(ns, seq, *rest)
+    order = range(seq - 1, -1, -1) if up else range(seq)
+    outs_a = [None] * seq
+    outs_b = [None] * seq
+    cur_a = cur_b = None
+    for s in order:
+        if cur_a is None:
+            cur_a, cur_b = a4[:, s], b4[:, s]
+        else:
+            cur_b = a4[:, s] * cur_b + b4[:, s]
+            cur_a = a4[:, s] * cur_a
+        outs_a[s] = cur_a
+        outs_b[s] = cur_b
+    # combine subchunk totals (the loop ends holding them), then the
+    # EXCLUSIVE cum is the carry entering each subchunk
+    ca, cb = _hillis_steele(cur_a, cur_b, up)
+    if up:
+        ca = jnp.concatenate([ca[1:], jnp.ones_like(ca[:1])], axis=0)
+        cb = jnp.concatenate([cb[1:], jnp.zeros_like(cb[:1])], axis=0)
+    else:
+        ca = jnp.concatenate([jnp.ones_like(ca[:1]), ca[:-1]], axis=0)
+        cb = jnp.concatenate([jnp.zeros_like(cb[:1]), cb[:-1]], axis=0)
+    a_out = jnp.stack([outs_a[s] * ca for s in range(seq)], axis=1)
+    b_out = jnp.stack([outs_a[s] * cb + outs_b[s] for s in range(seq)], axis=1)
+    return a_out.reshape(T, *rest), b_out.reshape(T, *rest)
 
 
 def _unpack_bc_lanes(M, K: int, Dh: int, N: int):
@@ -230,7 +281,7 @@ def _fwd_kernel(u_ref, delta_ref, a_mat_ref, bc_ref, y_ref, carry_ref,
 
     dA = jnp.exp(delta[:, None, :] * A[None, :, :])          # (T, N, KD)
     dBu = (delta * u)[:, None, :] * Bx
-    a_cum, b_cum = _hillis_steele(dA, dBu)
+    a_cum, b_cum = _scan_pair(dA, dBu)
     states = a_cum * h_scratch[...][None] + b_cum             # (T, N, KD)
     y_ref[0] = jnp.sum(states * Cx, axis=1).astype(y_ref.dtype)
     T = states.shape[0]
@@ -263,23 +314,17 @@ def _bwd_kernel(u_ref, delta_ref, a_mat_ref, bc_ref, dy_ref, carry_ref,
     # recompute forward states for this chunk
     dA = jnp.exp(delta[:, None, :] * A[None, :, :])
     dBu = (delta * u)[:, None, :] * Bx
-    a_cum, b_cum = _hillis_steele(dA, dBu)
+    a_cum, b_cum = _scan_pair(dA, dBu)
     states = a_cum * h_in[None] + b_cum                       # h_t
     h_prev = jnp.concatenate([h_in[None], states[:-1]], axis=0)
 
-    # adjoint suffix scan (shift-UP Hillis-Steele; Mosaic has no `rev`):
-    # alpha_t = dA_{t+1} (fill 1 at t=T-1); after the scan Q_t = sum_{s>=t}
-    # (prod dA) q_s and alpha_t = prod_{r>t} dA_r, so G = Q + alpha * carry_in.
+    # adjoint suffix scan (shift-UP; Mosaic has no `rev`): alpha_t = dA_{t+1}
+    # (fill 1 at t=T-1); after the scan q_cum_t = sum_{s>=t} (prod dA) q_s and
+    # alpha_cum_t = prod_{r>t} dA_r, so G = q_cum + alpha_cum * carry_in.
     q = Cx * dy[:, None, :]                                   # (T, N, KD)
     alpha = jnp.concatenate([dA[1:], jnp.ones_like(dA[:1])], axis=0)
-    d = 1
-    while d < q.shape[0]:
-        alpha_sh = jnp.concatenate([alpha[d:], jnp.ones_like(alpha[:d])], axis=0)
-        q_sh = jnp.concatenate([q[d:], jnp.zeros_like(q[:d])], axis=0)
-        q = q + alpha * q_sh
-        alpha = alpha * alpha_sh
-        d *= 2
-    G = q + alpha * g_scratch[...][None]                      # g_t (T, N, KD)
+    alpha_cum, q_cum = _scan_pair(alpha, q, up=True)
+    G = q_cum + alpha_cum * g_scratch[...][None]              # g_t (T, N, KD)
     first = lambda x: jnp.squeeze(jax.lax.slice_in_dim(x, 0, 1, axis=0), axis=0)
     g_scratch[...] = first(dA) * first(G)
 

@@ -95,20 +95,24 @@ def get_2d_mesh(n_data: int, n_model: int, devices=None) -> Mesh:
     return Mesh(devices, ("data", "model"))
 
 
-def shard_params_channelwise(params, mesh: Mesh, axis: str = "model",
-                             min_size: int = 64):
-    """Channel-wise tensor parallelism via GSPMD: shard each weight's LAST
+def shard_specs_channelwise(params, mesh: Mesh, axis: str = "model",
+                            min_size: int = 64):
+    """Channel-wise tensor-parallel sharding SPECS: shard each weight's LAST
     (output-feature) dimension over ``axis`` when it divides evenly and is
     large enough to be worth splitting; everything else is replicated. XLA's
     partitioner inserts the all-gathers / reduce-scatters — this is the
     sharding-annotation (not hand-collective) route the scaling playbook
     prescribes for conv/dense channel sharding.
 
+    ``params`` may be concrete arrays OR abstract ``jax.ShapeDtypeStruct``s
+    (from ``jax.eval_shape`` on the initializer) — pass the resulting specs as
+    ``out_shardings`` to a jitted init so parameters are created ALREADY
+    sharded. Materializing replicated params first and re-laying them out with
+    ``device_put`` runs cross-module collectives, which deadlock XLA:CPU's
+    in-process rendezvous on starved hosts.
+
     ``min_size=64`` keeps the flagship in scope: M2NetP's widest weights are
     64/128 output channels (conv stems, in_proj, PatchMerging reductions).
-
-    Returns (sharded_params, shardings_pytree) — the shardings are reusable as
-    jit in/out shardings.
     """
     n_shard = mesh.shape[axis]
 
@@ -119,6 +123,21 @@ def shard_params_channelwise(params, mesh: Mesh, axis: str = "model",
                 mesh, PartitionSpec(*([None] * (p.ndim - 1) + [axis])))
         return NamedSharding(mesh, PartitionSpec())
 
+    return jax.tree.map(spec_for, params)
+
+
+def shard_params_channelwise(params, mesh: Mesh, axis: str = "model",
+                             min_size: int = 64):
+    """Place already-materialized params according to
+    :func:`shard_specs_channelwise`. Prefer jitting the initializer with
+    ``out_shardings=shard_specs_channelwise(jax.eval_shape(init, ...), mesh)``
+    — see that function's note on cross-module resharding.
+
+    Returns (sharded_params, shardings_pytree) — the shardings are reusable as
+    jit in/out shardings.
+    """
+    shardings = shard_specs_channelwise(params, mesh, axis, min_size)
+
     def put(p, sh):
         if jax.process_count() == 1:
             return jax.device_put(p, sh)
@@ -128,6 +147,5 @@ def shard_params_channelwise(params, mesh: Mesh, axis: str = "model",
         return jax.make_array_from_callback(host.shape, sh,
                                             lambda idx: host[idx])
 
-    shardings = jax.tree.map(spec_for, params)
     sharded = jax.tree.map(put, params, shardings)
     return sharded, shardings
