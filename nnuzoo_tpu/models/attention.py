@@ -23,7 +23,8 @@ class MLP(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = True):
         x = nn.Dense(self.hidden_dim, name="fc1")(x)
-        x = nn.gelu(x)
+        # exact (erf) GELU: torch nn.GELU() default, needed for logit parity
+        x = nn.gelu(x, approximate=False)
         x = nn.Dense(self.out_dim, name="fc2")(x)
         return x
 
@@ -169,7 +170,10 @@ class SwinBlock(nn.Module):
     def __call__(self, x, train: bool = True):
         B, H, W, C = x.shape
         window = min(self.window, H, W)
-        shift = self.shift if window < min(H, W) else 0
+        # the reference keeps the shifted roll+mask even when the window spans
+        # the whole feature map (`swt.py:355-362` never disables shift); only
+        # drop it when the window had to be CLAMPED below its nominal size
+        shift = self.shift if window == self.window else 0
         # pad to window multiples
         pad_h = (-H) % window
         pad_w = (-W) % window

@@ -118,6 +118,23 @@ def max_pool(x, window, dim):
     return nn.max_pool(x, window_shape=w, strides=w)
 
 
+def pad_to_match(x, target_spatial):
+    """Zero-pad (B, *spatial, C) at the bottom/right so spatial dims equal
+    ``target_spatial``. Patch-merging layers floor odd spatial dims (reference
+    SHAPE_FIX, `nnunetv2/nets/m2net.py:249-265`), so a decoder's re-expanded map
+    can be up to scale-1 voxels smaller than its skip; the reference crashes on
+    such inputs (its decoder concatenates without any shape handling,
+    `m2net.py:467`) — we pad instead, which is a no-op whenever the reference
+    would have worked."""
+    spatial = x.shape[1:-1]
+    if tuple(spatial) == tuple(target_spatial):
+        return x
+    pads = [(0, 0)] + [(0, t - s) for s, t in zip(spatial, target_spatial)] + \
+        [(0, 0)]
+    assert all(p[1] >= 0 for p in pads), (spatial, target_spatial)
+    return jnp.pad(x, pads)
+
+
 class DropPath(nn.Module):
     """Stochastic depth (per-sample residual-branch drop, reference timm DropPath
     used throughout the zoo's VSS/Swin/ViT blocks with linearly decayed rates).

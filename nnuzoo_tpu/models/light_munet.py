@@ -62,11 +62,23 @@ class GSC(nn.Module):
         return x3 + residual
 
 
+def mamba2_headdim(d_model: int, expand: int = 2) -> int:
+    """Reference `light_mamba2net.py:53-58`: largest i < d_model*expand/8 with
+    (d_model*expand / i) % 8 == 0."""
+    nheaddim = 1
+    for i in range(1, int(d_model * expand / 8)):
+        if (d_model * expand / i) % 8 == 0:
+            nheaddim = i
+    return nheaddim
+
+
 class MambaLayer(nn.Module):
     """LN -> Mamba over flattened tokens -> skip-scaled residual -> LN -> proj
-    (reference `LightMUNet.py:32-59`)."""
+    (reference `LightMUNet.py:32-59`). ``use_mamba2`` swaps in a Mamba2/SSD
+    block with the reference head-dim rule (`light_mamba2net.py:60-71`)."""
     output_dim: int
     use_ss2d: bool = False
+    use_mamba2: bool = False
 
     @nn.compact
     def __call__(self, x, order: Optional[Tuple[int, ...]] = None):
@@ -88,6 +100,12 @@ class MambaLayer(nn.Module):
             assert dim == 2 and order is None
             mix = SS2D(d_model=C, name="ss2d")(normed.reshape(B, *p_spatial, C)
                                                ).reshape(B, -1, C)
+        elif self.use_mamba2:
+            from .mamba import Mamba2Block
+            # d_state=16: the reference MambaLayer default, passed through to
+            # Mamba2 (`light_mamba2net.py:65-72`)
+            mix = Mamba2Block(d_model=C, d_state=16,
+                              headdim=mamba2_headdim(C), name="mamba")(normed)
         else:
             mix = MambaBlock(d_model=C, name="mamba")(normed)
         skip_scale = self.param("skip_scale", nn.initializers.ones, (1,))
@@ -107,6 +125,7 @@ class ResMambaBlock(nn.Module):
     dim: int
     order: Tuple[int, ...]
     use_ss2d: bool = False
+    use_mamba2: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -114,10 +133,10 @@ class ResMambaBlock(nn.Module):
         x = GSC(self.dim, name="gsc")(x)
         identity = x
         h = nn.relu(nn.GroupNorm(num_groups=min(8, c), name="norm1")(x))
-        h = MambaLayer(c, self.use_ss2d, name="mamba1")(
+        h = MambaLayer(c, self.use_ss2d, self.use_mamba2, name="mamba1")(
             h, None if self.use_ss2d else self.order)
         h = nn.relu(nn.GroupNorm(num_groups=min(8, c), name="norm2")(h))
-        h = MambaLayer(c, self.use_ss2d, name="mamba2")(
+        h = MambaLayer(c, self.use_ss2d, self.use_mamba2, name="mamba2")(
             h, None if self.use_ss2d else self.order)
         return h + identity
 

@@ -17,7 +17,7 @@ from typing import Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
-from .layers import resize_linear
+from .layers import pad_to_match, resize_linear
 from .registry import register_model
 from .u2net import RSU4F
 from .vssm import MU, PatchExpand, PatchMerging2D
@@ -108,19 +108,19 @@ class M2Net(nn.Module):
             jnp.concatenate([hx6up, hx5], -1))
         up = PatchExpand(512, 2, name="patch_expand4d")(hx5d)           # 256 @ /8
         up = nn.Dense(256, name="concat_back_dim4d")(
-            jnp.concatenate([up, hx4], -1))
+            jnp.concatenate([pad_to_match(up, hx4.shape[1:-1]), hx4], -1))
         hx4d = MU(256, 128, 256, 4, name="stage4d")(up, train)
         up = PatchExpand(256, 2, name="patch_expand3d")(hx4d)          # 128 @ /4
         up = nn.Dense(128, name="concat_back_dim3d")(
-            jnp.concatenate([up, hx3], -1))
+            jnp.concatenate([pad_to_match(up, hx3.shape[1:-1]), hx3], -1))
         hx3d = MU(128, 64, 128, 5, name="stage3d")(up, train)
         up = PatchExpand(128, 2, name="patch_expand2d")(hx3d)          # 64 @ /2
         up = nn.Dense(64, name="concat_back_dim2d")(
-            jnp.concatenate([up, hx2], -1))
+            jnp.concatenate([pad_to_match(up, hx2.shape[1:-1]), hx2], -1))
         hx2d = MU(64, 32, 64, 6, name="stage2d")(up, train)
         up = PatchExpand(64, 2, name="patch_expand1d")(hx2d)           # 32 @ /1
         up = nn.Dense(32, name="concat_back_dim1d")(
-            jnp.concatenate([up, hx1], -1))
+            jnp.concatenate([pad_to_match(up, hx1.shape[1:-1]), hx1], -1))
         hx1d = MU(32, 16, 32, 7, name="stage1d")(up, train)
 
         # ------------------------------ heads (native resolutions)
@@ -175,16 +175,16 @@ class M2NetP(nn.Module):
         hx5d = RSU4F_s(16, 128, name="stage5d")(jnp.concatenate([hx6up, hx5], -1))
         up = PatchExpand(128, 2, name="patch_expand4d")(hx5d)          # 64 ch
         hx4d = MU_s(128, 16, 128, sl[3], name="stage4d")(
-            jnp.concatenate([up, hx4], -1), train)
+            jnp.concatenate([pad_to_match(up, hx4.shape[1:-1]), hx4], -1), train)
         up = PatchExpand(128, 2, name="patch_expand3d")(hx4d)
         hx3d = MU_s(128, 16, 128, sl[2], name="stage3d")(
-            jnp.concatenate([up, hx3], -1), train)
+            jnp.concatenate([pad_to_match(up, hx3.shape[1:-1]), hx3], -1), train)
         up = PatchExpand(128, 2, name="patch_expand2d")(hx3d)
         hx2d = MU_r(128, 16, 128, sl[1], name="stage2d")(
-            jnp.concatenate([up, hx2], -1), train)
+            jnp.concatenate([pad_to_match(up, hx2.shape[1:-1]), hx2], -1), train)
         up = PatchExpand(128, 2, name="patch_expand1d")(hx2d)
         hx1d = MU_r(128, 16, 128, sl[0], name="stage1d")(
-            jnp.concatenate([up, hx1], -1), train)
+            jnp.concatenate([pad_to_match(up, hx1.shape[1:-1]), hx1], -1), train)
 
         d1 = nn.Conv(self.num_classes, (3, 3), padding="SAME", name="side1")(hx1d)
         d2 = nn.Conv(self.num_classes, (3, 3), padding="SAME", name="side2")(hx2d)

@@ -94,6 +94,10 @@ class MixerLayer(nn.Module):
                 x = VSSBlock(self.dim, self.d_state, self.drop_path,
                              name=f"block{i}")(x, train=train)
             elif self.mixer == "ssnd":
+                # reference SSND VSSBlock (`ssnd2net.py:758-786`):
+                # input = GSC(input); x = input + DropPath(SSND(LN(input)))
+                from .light_munet import GSC
+                x = GSC(self.spatial_dims, name=f"gsc{i}")(x)
                 branch = SSND(self.dim, spatial_dims=self.spatial_dims,
                               d_state=self.d_state, name=f"block{i}")(
                     nn.LayerNorm(epsilon=1e-6, name=f"ln{i}")(x), train=train)

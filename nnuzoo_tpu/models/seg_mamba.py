@@ -47,7 +47,7 @@ class MlpChannel(nn.Module):
     def __call__(self, x):
         c = x.shape[-1]
         h = nn.Conv(self.hidden, (1,) * (x.ndim - 2), name="fc1")(x)
-        h = nn.gelu(h)
+        h = nn.gelu(h, approximate=False)  # torch nn.GELU() is exact
         return nn.Conv(c, (1,) * (x.ndim - 2), name="fc2")(h)
 
 

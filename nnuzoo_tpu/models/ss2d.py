@@ -21,11 +21,33 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.cross_scan import cross_scan_fused
-from ..ops.selective_scan import selective_scan, selective_scan_blkd
+from ..ops.selective_scan import (selective_scan, selective_scan_blkd,
+                                  selective_scan_packed)
 
 
 def scan_backend() -> Optional[str]:
     return os.environ.get("NNUZOO_SCAN_BACKEND") or None
+
+
+def packed_glue_mode(backend: Optional[str]) -> Optional[str]:
+    """Lane-packed glue path selection (opt-in).
+
+    Builds every kernel operand as a (B, L, K*Dh) / (B, L, K*2N) lane-compact
+    tensor via direction-block-diagonal matmuls (for SS2D: exactly 128 lanes
+    each), so the (B, L, K, Dh)/(B, L, K, N) intermediates of the legacy glue
+    never materialize. Measured on-chip at the canonical stage-1 shape
+    (b12 256x224 C=16) it is PAR WITH the legacy glue (fwd+bwd 124 vs 118 ms;
+    the round-2 lane-packed B/C operands already removed the padding blowup,
+    and the block-diagonal projections add MXU work), so it stays opt-in:
+    NNUZOO_SS2D_PACKED: "1" enables on the pallas backend, "interpret" forces
+    kernel interpret mode (CPU tests), unset/"0" disables."""
+    env = os.environ.get("NNUZOO_SS2D_PACKED")
+    if env == "interpret":
+        return "interpret"
+    if env != "1":
+        return None
+    eff = backend or ("pallas" if jax.devices()[0].platform == "tpu" else "xla")
+    return "pallas" if eff == "pallas" else None
 
 
 def fused_scan_mode() -> Optional[str]:
@@ -116,7 +138,40 @@ class SS2D(nn.Module):
         A = -jnp.exp(A_logs.astype(jnp.float32))
 
         fused = fused_scan_mode()
-        if fused is not None:
+        packed = packed_glue_mode(scan_backend()) if fused is None else None
+        if packed is not None:
+            # ---------------- lane-packed glue (TPU default) ----------------
+            # Build every kernel operand in its EXACT lane-compact layout:
+            #   xs_p (B, L, K*Dh): [hw | wh | rev(hw) | rev(wh)] lane blocks
+            #   bc   (B, L, K*2N): per-direction [B_k | C_k] lane blocks
+            #   dts  (B, L, K*Dh)
+            # The direction axis lives in lanes, so the projections become
+            # direction-block-diagonal matmuls (for SS2D d_inner=32, K=4,
+            # N=16: 128x128 — one full MXU tile). The unpacked path's
+            # (B, L, K, Dh)/(B, L, K, N) intermediates lane-pad 4-8x on every
+            # stack/einsum/flip, which made the glue ~4x the kernel cost.
+            from jax.scipy.linalg import block_diag
+            xs2 = jnp.concatenate([x_hw, x_wh], axis=-1)           # (B,L,2D)
+            xs_p = jnp.concatenate([xs2, jnp.flip(xs2, 1)], -1)    # (B,L,KD)
+            wdt = x_proj_weight[:, :dt_rank, :]                    # (K,r,D)
+            wbc = x_proj_weight[:, dt_rank:, :]                    # (K,2N,D)
+            Wbc = block_diag(*[wbc[k].T for k in range(K)])        # (KD,K2N)
+            Wr = block_diag(*[wdt[k].T for k in range(K)])         # (KD,Kr)
+            Wdt = block_diag(*[dt_projs_weight[k].T
+                               for k in range(K)])                 # (Kr,KD)
+            cdt = xs_p.dtype
+            bc = xs_p @ Wbc.astype(cdt)                            # (B,L,K2N)
+            dts_p = (xs_p @ Wr.astype(cdt)) @ Wdt.astype(cdt)      # (B,L,KD)
+            ys = selective_scan_packed(
+                xs_p, dts_p, jnp.transpose(A, (1, 0)), bc, D=Ds,
+                delta_bias=dt_projs_bias.reshape(-1), delta_softplus=True,
+                interpret=packed == "interpret")                   # (B,L,KD)
+            # merge directions: un-reverse, un-transpose, sum
+            ysum2 = ys[..., :2 * d_inner] + jnp.flip(ys[..., 2 * d_inner:], 1)
+            y = ysum2[..., :d_inner].reshape(B, H, W, d_inner) + \
+                jnp.transpose(ysum2[..., d_inner:].reshape(B, W, H, d_inner),
+                              (0, 2, 1, 3))
+        elif fused is not None:
             # fused path: projections + softplus + scan + D-term in-kernel;
             # the reversed directions never materialize (mirrored traversal)
             kw = dict(backend="pallas", interpret=fused == "interpret")

@@ -14,7 +14,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from .attention import SwinBlock
-from .layers import ConvNormAct, TransposedConvUp
+from .layers import ConvNormAct, TransposedConvUp, pad_to_match
 from .registry import register_model
 from .unetr import UnetrBasicBlock, UnetrUpBlock
 from .vssm import PatchEmbed2D, PatchExpand, PatchMerging2D
@@ -38,7 +38,31 @@ class SwinStage(nn.Module):
         return x
 
 
+class FinalPatchExpanding(nn.Module):
+    """Linear(dim -> patch^2 * dim, no bias) + depth-to-space + LN — keeps the
+    channel count across the final upsample (reference `swt.py:243-256`),
+    unlike PatchExpand which halves it."""
+    dim: int
+    patch: int
+
+    @nn.compact
+    def __call__(self, x):
+        B, H, W, C = x.shape
+        p = self.patch
+        x = nn.Dense(p * p * self.dim, use_bias=False, name="expand")(x)
+        x = x.reshape(B, H, W, p, p, self.dim)
+        x = jnp.transpose(x, (0, 1, 3, 2, 4, 5)).reshape(
+            B, H * p, W * p, self.dim)
+        return nn.LayerNorm(name="norm")(x)
+
+
 class SwinTransformerUnet(nn.Module):
+    """Swin-Unet (reference `swt.py:28-160`). Faithful topology: the skip
+    saved for each decoder stage is the encoder stage's INPUT (`swt.py:131-135`
+    appends x_save BEFORE the blocks), the decoder PatchExpands halve channels,
+    the first expand precedes the first concat, expands come AFTER each
+    decoder stage's blocks (`BasicBlockUp`, `swt.py:466-504`), and the final
+    norm_up + channel-keeping FinalPatchExpanding feed a bias-free 1x1 head."""
     num_classes: int
     embed_dim: int = 96
     depths: Sequence[int] = (2, 2, 2, 2)
@@ -50,7 +74,8 @@ class SwinTransformerUnet(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = True):
-        dims = [self.embed_dim * 2 ** i for i in range(len(self.depths))]
+        n = len(self.depths)
+        dims = [self.embed_dim * 2 ** i for i in range(n)]
         h = PatchEmbed2D(self.patch, self.embed_dim, name="patch_embed")(x)
 
         total = sum(self.depths)
@@ -61,26 +86,39 @@ class SwinTransformerUnet(nn.Module):
             lo = sum(self.depths[:i])
             return tuple(dpr[lo:lo + self.depths[i]])
 
+        # encoder: skips are the stage INPUTS (reference x_save)
         skips = []
         for i, depth in enumerate(self.depths):
+            skips.append(h)
             h = SwinStage(dims[i], depth, self.num_heads[i], self.window,
                           stage_dpr(i), name=f"enc{i}")(h, train=train)
-            skips.append(h)
-            if i < len(self.depths) - 1:
-                h = PatchMerging2D(dims[i], 2, dims[i + 1], name=f"down{i}")(h)
+            if i < n - 1:
+                h = PatchMerging2D(dims[i], 2, name=f"down{i}")(h)
 
-        for i in range(len(self.depths) - 2, -1, -1):
-            h = PatchExpand(dims[i + 1], 2, output_dim=dims[i + 1],
-                            name=f"expand{i}")(h)
-            h = jnp.concatenate([h, skips[i]], -1)
-            h = nn.Dense(dims[i], name=f"concat_back{i}")(h)
-            h = SwinStage(dims[i], self.depths[i], self.num_heads[i],
-                          self.window, stage_dpr(i),
+        h = PatchExpand(dims[-1], 2, output_dim=None, name="first_expand")(h)
+        for i in range(n - 1):
+            idx = n - 2 - i
+            skip = skips[idx]
+            # reference `pad` crops the upsampled side to the skip's spatial
+            # (its PatchMerging pads odd dims so crop suffices there; our
+            # merging truncates, so also zero-pad when short)
+            h = h[:, :skip.shape[1], :skip.shape[2]]
+            h = pad_to_match(h, skip.shape[1:-1])
+            h = nn.Dense(dims[idx], name=f"concat_back{i}")(
+                jnp.concatenate([h, skip], -1))
+            h = SwinStage(dims[idx], self.depths[idx], self.num_heads[idx],
+                          self.window, stage_dpr(idx),
                           name=f"dec{i}")(h, train=train)
+            if i < n - 2:
+                h = PatchExpand(dims[idx], 2, output_dim=None,
+                                name=f"expand{i}")(h)
 
-        # final patch-size upsample back to input resolution
-        h = PatchExpand(dims[0], self.patch, output_dim=None, name="final_expand")(h)
-        logits = nn.Conv(self.num_classes, (1, 1), name="out")(h)
+        h = nn.LayerNorm(name="norm_up")(h)
+        h = FinalPatchExpanding(self.embed_dim, self.patch,
+                                name="final_expand")(h)
+        h = h[:, :x.shape[1], :x.shape[2]]
+        logits = nn.Conv(self.num_classes, (1, 1), use_bias=False,
+                         name="head")(h)
         return [logits.astype(jnp.float32)]
 
 
@@ -149,7 +187,10 @@ def get_swt_from_plans(plans_manager, dataset_json, configuration_manager,
                        num_input_channels, deep_supervision=False, dtype=None):
     label_manager = plans_manager.get_label_manager(dataset_json)
     assert len(configuration_manager.patch_size) == 2, "SwT is 2D-only"
-    return SwinTransformerUnet(num_classes=label_manager.num_segmentation_heads)
+    # reference production config (`swt.py:505-525`): depths (2,2,9,2),
+    # embed 96, heads (3,6,12,24), window 7, patch 4, add_last=False
+    return SwinTransformerUnet(num_classes=label_manager.num_segmentation_heads,
+                               depths=(2, 2, 9, 2))
 
 
 def get_swin_unetr_from_plans(plans_manager, dataset_json, configuration_manager,

@@ -6,7 +6,8 @@ Swin encoder levels with depths (2,2,4,2) and PatchMerging between them, a
 mirrored Swin decoder with PatchExpanding + skip-concat Linears, a final
 patch-size expand back to stage resolution, a bias-free 1x1 head, and a
 depthwise-separable conv input residual (``add_last``). Stages 5/6 and 5d are
-dilated RSU4F conv blocks; the outer macro is the M2Net U with 1x1 side heads
+depthwise-separable RSU4F conv blocks (no dilation — the reference's
+get_dwconv_layer drops it); the outer macro is the M2Net U with 1x1 side heads
 and the fused d0 (sides at native resolutions + distributed outconv).
 
 Robustness deviation: when inner PatchMerging truncates an odd dimension, the
@@ -24,7 +25,7 @@ from .layers import resize_linear
 from .m2net import _DistributedOutConv, _maxpool2_ceil
 from .registry import register_model
 from .swt import SwinStage
-from .u2net import RSU4F
+from .lm2net import DWRSU4F
 from .vssm import PatchEmbed2D, PatchExpand, PatchMerging2D
 
 
@@ -156,12 +157,14 @@ class SwT2Net(nn.Module):
         hx = PatchMerging2D(128, 2, name="patch_merging3")(hx3)         # 256
         hx4 = _mini_swin("stage4", 256, "stage4")(hx, train)
         hx = PatchMerging2D(256, 2, name="patch_merging4")(hx4)         # 512
-        hx5 = RSU4F(256, 512, name="stage5")(hx)
+        # dw-separable RSU4F (reference swt2net.py:346-358 REBNCONV
+        # wraps get_dwconv_layer, like lm2net's)
+        hx5 = DWRSU4F(256, 512, name="stage5")(hx)
         hx = _maxpool2_ceil(hx5)
-        hx6 = RSU4F(256, 512, name="stage6")(hx)
+        hx6 = DWRSU4F(256, 512, name="stage6")(hx)
         hx6up = resize_linear(hx6, hx5.shape[1:3], 2)
 
-        hx5d = RSU4F(256, 512, name="stage5d")(
+        hx5d = DWRSU4F(256, 512, name="stage5d")(
             jnp.concatenate([hx6up, hx5], -1))
         up = PatchExpand(512, 2, name="patch_expand4d")(hx5d)           # 256
         up = nn.Dense(256, name="concat_back_dim4d")(

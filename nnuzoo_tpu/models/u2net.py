@@ -58,9 +58,10 @@ class RSU(nn.Module):
         # bottom: dilated conv at the coarsest resolution
         hx = REBNCONV(self.mid_ch, 2, self.dim, name="bottom")(hx)
 
-        # decoder path
+        # decoder path: every intermediate conv stays at mid_ch; only the
+        # final one emits out_ch (reference RSU7 `u2net.py:46-56`)
         for i in range(self.levels - 2, 0, -1):
-            hx = REBNCONV(self.mid_ch if i > 1 else self.out_ch, 1, self.dim,
+            hx = REBNCONV(self.mid_ch, 1, self.dim,
                           name=f"dec{i}")(jnp.concatenate([hx, enc[i]], -1))
             hx = resize_linear(hx, enc[i - 1].shape[1:-1], self.dim)
         hx = REBNCONV(self.out_ch, 1, self.dim, name="dec0")(

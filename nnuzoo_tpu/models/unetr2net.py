@@ -87,8 +87,66 @@ class UpBlock(nn.Module):
         return UnetResBlock(self.features, self.dim, name="block")(x)
 
 
+class MambaNDStack(nn.Module):
+    """The MambaND token core (reference `mamba_nd2net.py:565-1000`): a stack
+    of Mamba blocks where the flattening AXIS ORDER rotates every two layers
+    (2d: row-major / transposed; 3d: thw / twh / wht) and every odd layer
+    scans the sequence REVERSED. Each block is post-norm-residual — the
+    stream is replaced by its LayerNorm before the mixer residual
+    (`mamba_nd2net.py:640-648`: ``h = LN(h); h = h + mixer(h)``, fused_add_norm
+    disabled and rms_norm=False in `create_block`, `:714,846`). No position
+    embeddings, no final norm (``final_norm=False``, `:1137`).
+
+    Returns (final tokens, list of post-block hidden states), both row-major
+    (B, L, C)."""
+    hidden_size: int
+    num_layers: int
+    feat_size: Tuple[int, ...]
+    d_state: int = 16
+
+    @nn.compact
+    def __call__(self, tokens, train: bool = True):
+        from .mamba import MambaBlock
+        B = tokens.shape[0]
+        C = self.hidden_size
+        fs = self.feat_size
+        dim = len(fs)
+        # spatial axis orders, rotated every 2 layers (reference `:972-982`)
+        orders = [(0, 1), (1, 0)] if dim == 2 else [(0, 1, 2), (0, 2, 1),
+                                                    (2, 1, 0)]
+        outs = []
+        for i in range(self.num_layers):
+            perm = orders[(i // 2) % len(orders)]
+            reverse = i % 2 == 1
+            h = tokens.reshape(B, *fs, C)
+            if perm != tuple(range(dim)):
+                h = jnp.transpose(h, (0,) + tuple(p + 1 for p in perm) +
+                                  (dim + 1,))
+            seq = h.reshape(B, -1, C)
+            if reverse:
+                seq = jnp.flip(seq, 1)
+            seq = nn.LayerNorm(name=f"norm{i}")(seq)
+            seq = seq + MambaBlock(d_model=C, d_state=self.d_state,
+                                   name=f"mamba{i}")(seq)
+            if reverse:
+                seq = jnp.flip(seq, 1)
+            if perm != tuple(range(dim)):
+                inv = [perm.index(a) for a in range(dim)]
+                h = seq.reshape(B, *[fs[p] for p in perm], C)
+                h = jnp.transpose(h, (0,) + tuple(a + 1 for a in inv) +
+                                  (dim + 1,))
+                seq = h.reshape(B, -1, C)
+            tokens = seq
+            outs.append(tokens)
+        return tokens, outs
+
+
 class MiniUNETR(nn.Module):
-    """One UNETR2Net stage (reference `unetr2net.py:1346-1566`)."""
+    """One UNETR2Net stage (reference `unetr2net.py:1346-1566`).
+
+    ``core="mamba_nd"`` swaps the ViT stack for :class:`MambaNDStack` and
+    drops the position embeddings, final LayerNorm, and ``add_last`` residual
+    (the MambaND mini has none of the three, `mamba_nd2net.py:1055-1290`)."""
     out_ch: int
     feature_size: int
     hidden_size: int
@@ -100,6 +158,7 @@ class MiniUNETR(nn.Module):
     mlp_dim: int = 3072
     num_heads: int = 12
     add_last: bool = True
+    core: str = "vit"
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -119,23 +178,41 @@ class MiniUNETR(nn.Module):
             last_add = nn.Conv(self.out_ch, (1,) * self.dim, use_bias=False,
                                name="rebnconvin_pw")(h)
 
-        tokens = nn.Conv(self.hidden_size, (p,) * self.dim,
-                         strides=(p,) * self.dim, name="patch_embed")(x)
+        if self.core == "mamba_nd":
+            # MambaNDCore patch embed is DEPTHWISE-SEPARABLE (reference
+            # `mamba_nd2net.py:171-190,778-790`: get_dwconv_layer with
+            # kernel=stride=patch, bias=True, no norm) — ~100x fewer params
+            # than the dense ViT patch conv at the large patches
+            t = nn.Conv(x.shape[-1], (p,) * self.dim, strides=(p,) * self.dim,
+                        feature_group_count=x.shape[-1], use_bias=True,
+                        name="patch_embed_depth")(x)
+            tokens = nn.Conv(self.hidden_size, (1,) * self.dim, use_bias=True,
+                             name="patch_embed_point")(t)
+        else:
+            tokens = nn.Conv(self.hidden_size, (p,) * self.dim,
+                             strides=(p,) * self.dim, name="patch_embed")(x)
         tokens = tokens.reshape(B, -1, self.hidden_size)
-        pos = self.param("pos_embed", nn.initializers.truncated_normal(0.02),
-                         (1, tokens.shape[1], self.hidden_size))
-        tokens = tokens + pos
 
         # hidden-state taps (reference `unetr2net.py:1414`)
         taps = [int(i) for i in np.linspace(2, self.num_layers - 1, 3)]
-        hidden = {}
-        for i in range(self.num_layers):
-            tokens = ViTBlock(self.num_heads,
-                              mlp_ratio=self.mlp_dim / self.hidden_size,
-                              name=f"vit{i}")(tokens, train=train)
-            if i in taps:
-                hidden[i] = tokens
-        tokens = nn.LayerNorm(name="vit_norm")(tokens)
+        if self.core == "mamba_nd":
+            tokens, outs = MambaNDStack(self.hidden_size, self.num_layers,
+                                        feat_size, name="core")(tokens,
+                                                                train=train)
+            hidden = {i: outs[i] for i in taps}
+        else:
+            pos = self.param("pos_embed",
+                             nn.initializers.truncated_normal(0.02),
+                             (1, tokens.shape[1], self.hidden_size))
+            tokens = tokens + pos
+            hidden = {}
+            for i in range(self.num_layers):
+                tokens = ViTBlock(self.num_heads,
+                                  mlp_ratio=self.mlp_dim / self.hidden_size,
+                                  name=f"vit{i}")(tokens, train=train)
+                if i in taps:
+                    hidden[i] = tokens
+            tokens = nn.LayerNorm(name="vit_norm")(tokens)
 
         def to_map(t):
             return t.reshape(B, *feat_size, self.hidden_size)

@@ -10,6 +10,7 @@ from typing import List, Optional, Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
+from .layers import pad_to_match
 from .ss2d import VSSLayer
 from .u2net import REBNCONV
 
@@ -145,7 +146,8 @@ class VSSMDecoder(nn.Module):
             if not (s == 1 and self.skip_first_expand):
                 x = PatchExpand(below, 2, output_dim=below,
                                 name=f"expand{s - 1}")(x)
-            x = jnp.concatenate([x, skips[-(s + 1)]], -1)
+            skip = skips[-(s + 1)]
+            x = jnp.concatenate([pad_to_match(x, skip.shape[1:-1]), skip], -1)
             x = nn.Dense(skip_f, name=f"concat_back_dim{s - 1}")(x)
             x = VSSLayer(skip_f, 1, self.d_state, dpr[s - 1],
                          name=f"stage{s - 1}")(x, train=train)

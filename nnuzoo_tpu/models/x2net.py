@@ -19,7 +19,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 import numpy as np
 
-from .layers import max_pool, resize_linear
+from .layers import max_pool, pad_to_match, resize_linear
 from .mixers import MixerLayer
 from .registry import register_model
 from .m2net import _DistributedOutConv
@@ -42,6 +42,13 @@ class PatchMergingND(nn.Module):
         spatial = x.shape[1:-1]
         C = x.shape[-1]
         new_spatial = [s // sc for s, sc in zip(spatial, self.scales)]
+        # odd spatial dims are truncated (reference SHAPE_FIX semantics,
+        # `nnunetv2/nets/m2net.py:249-265`); the decoder pads back
+        if any(s % sc for s, sc in zip(spatial, self.scales)):
+            sl = tuple([slice(None)] +
+                       [slice(0, n * sc) for n, sc in
+                        zip(new_spatial, self.scales)] + [slice(None)])
+            x = x[sl]
         shape = [B]
         for s, sc in zip(new_spatial, self.scales):
             shape += [s, sc]
@@ -156,7 +163,8 @@ class MUND(nn.Module):
             if s > 1:
                 h = PatchExpandND(feats[-s], (2,) * dim, output_dim=feats[-s],
                                   name=f"expand{s - 1}")(h)
-            h = jnp.concatenate([h, skips[-(s + 1)]], -1)
+            skip = skips[-(s + 1)]
+            h = jnp.concatenate([pad_to_match(h, skip.shape[1:-1]), skip], -1)
             h = nn.Dense(feats[-(s + 1)], name=f"concat_back{s - 1}")(h)
             h = MixerLayer(feats[-(s + 1)], 1, self.mixer, self.d_state, dim,
                            dec_dpr[s - 1], name=f"dec{s - 1}")(h, train=train)
@@ -211,7 +219,8 @@ class X2Net(nn.Module):
         for i in range(3, -1, -1):
             h = PatchExpandND(h.shape[-1], merge_scales[i],
                               output_dim=so[i], name=f"patch_expand{i + 1}d")(h)
-            h = jnp.concatenate([h, skips[i]], -1)
+            h = jnp.concatenate([pad_to_match(h, skips[i].shape[1:-1]),
+                                 skips[i]], -1)
             h = nn.Dense(so[i], name=f"concat_back_dim{i + 1}d")(h)
             h = MUND(sm[i], so[i], sl[i], self.mixer, dim,
                      name=f"stage{i + 1}d")(h, train=train)
@@ -233,15 +242,12 @@ class X2Net(nn.Module):
 
 
 # --------------------------------------------------------------------- factories
-_MIXER_BY_TRAINER = {
-    # nnUNetTrainerSwT2Net registers in swt2net.py (per-stage mini Swin-Unets)
-    # nnUNetTrainerUNETR2Net registers in unetr2net.py (per-stage patchified
-    # mini-UNETRs, not a token-mixer MUND)
-    "nnUNetTrainerLM2Net": ("mamba_alt", None),       # 2d/3d
-    "nnUNetTrainerLightMamba2Net": ("mamba2", None),
-    "nnUNetTrainerSSND2Net": ("ssnd", None),
-    "nnUNetTrainerMambaND2Net": ("mamba_nd", None),
-}
+# Every X2Net family member now registers from its own faithful per-family
+# module: swt2net.py (mini Swin-Unets), unetr2net.py (mini-UNETRs),
+# lm2net.py (mini LightMUNets; LM2Net + LightMamba2Net), ssnd2net.py (mini
+# SSND VSSM U-Nets), mamba_nd2net.py (mini MambaND UNETR-skeletons). The
+# generic MUND/X2Net scaffold stays as the shared building block and for
+# experimentation via make_x2net_builder.
 
 
 def make_x2net_builder(mixer: str, fixed_dim):
@@ -257,7 +263,3 @@ def make_x2net_builder(mixer: str, fixed_dim):
                      mixer=mixer, spatial_dims=dim,
                      deep_supervision=deep_supervision, spacing=spacing)
     return builder
-
-
-for _trainer, (_mixer, _dim) in _MIXER_BY_TRAINER.items():
-    register_model(_trainer, make_x2net_builder(_mixer, _dim))

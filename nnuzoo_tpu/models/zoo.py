@@ -6,6 +6,9 @@ they are implemented; see SURVEY.md §2.2 for the full inventory.
 
 # model families register themselves on import
 from . import light_munet  # noqa: F401
+from . import lm2net  # noqa: F401
+from . import ssnd2net  # noqa: F401
+from . import mamba_nd2net  # noqa: F401
 from . import m2net  # noqa: F401
 from . import x2net  # noqa: F401
 from . import seg_mamba  # noqa: F401

@@ -232,6 +232,133 @@ def _scan_pair(a, b, up: bool = False, seq: int = 16):
     return a_out.reshape(T, *rest), b_out.reshape(T, *rest)
 
 
+def _scan_states(a, b, h0, up: bool = False, seq: int = 16):
+    """Linear-recurrence scan that folds the boundary-carry application into
+    the hierarchical combine: returns the STATES directly given the entering
+    carry ``h0`` (shape = a.shape[1:]).
+
+    up=False: h_t = a_t h_{t-1} + b_t with h_{-1} = h0.
+    up=True (suffix): h_t = a_t h_{t+1} + b_t with h_T = h0.
+
+    vs ``_scan_pair`` + ``a_cum * h0 + b_cum``: the per-element inter-subchunk
+    carry broadcast (2 ops) and the boundary application (2 ops) collapse into
+    ONE fused multiply-add per element — the carries combine sequentially at
+    subchunk granularity (T/seq tiny (rest,)-shaped steps), which is exact, not
+    an approximation. The scan kernels are VPU-instruction-bound on v5e, so
+    this is a direct step-time cut."""
+    T = a.shape[0]
+    if T <= seq or T % seq:
+        ca, cb = _hillis_steele(a, b, up)
+        return ca * h0[None] + cb
+    ns = T // seq
+    rest = a.shape[1:]
+    a4 = a.reshape(ns, seq, *rest)
+    b4 = b.reshape(ns, seq, *rest)
+    order = range(seq - 1, -1, -1) if up else range(seq)
+    outs_a = [None] * seq
+    outs_b = [None] * seq
+    cur_a = cur_b = None
+    for s in order:
+        if cur_a is None:
+            cur_a, cur_b = a4[:, s], b4[:, s]
+        else:
+            cur_b = a4[:, s] * cur_b + b4[:, s]
+            cur_a = a4[:, s] * cur_a
+        outs_a[s] = cur_a
+        outs_b[s] = cur_b
+    # entering carry per subchunk, combined sequentially over the ns totals
+    # ((ns, rest)-shaped slices; ns-1 tiny FMAs)
+    hs = [None] * ns
+    idx = range(ns - 1, -1, -1) if up else range(ns)
+    h = h0
+    for i in idx:
+        hs[i] = h
+        h = cur_a[i] * h + cur_b[i]
+    hstack = jnp.stack(hs, axis=0)[:, None]                     # (ns,1,*rest)
+    states = (jnp.stack(outs_a, axis=1) * hstack +
+              jnp.stack(outs_b, axis=1))
+    return states.reshape(T, *rest)
+
+
+def _subchunk_carries(tot_a, tot_b, h0, up: bool):
+    """Sequential combine over the ns subchunk totals: returns the (ns, *rest)
+    stack of boundary states ENTERING each subchunk (from the left for
+    prefix scans, from the right for suffix scans) plus the chunk-exit state.
+    ns is small (T/seq), so these are tiny (rest,)-shaped FMAs."""
+    ns = tot_a.shape[0]
+    hs = [None] * ns
+    idx = range(ns - 1, -1, -1) if up else range(ns)
+    h = h0
+    for i in idx:
+        hs[i] = h
+        h = tot_a[i] * h + tot_b[i]
+    return jnp.stack(hs, axis=0), h
+
+
+def _scan_fused_y(dA, dBu, dsum, A, h0, Cx, seq: int = 16):
+    """Forward scan with the output contraction FUSED into the second pass:
+    returns (y (T, KD), chunk-exit state (N, KD)) without ever materializing
+    the (T, N, KD) state stack.
+
+    Two-pass structure (the kernels are VPU-instruction-bound, so every
+    per-element op counts):
+      pass 1  — sequential subchunk scan of the b-part only (ONE fused
+                multiply-add per element; the old `_scan_states` also chained
+                the a-products, +1 op/el);
+      totals  — per-subchunk decay totals come from exp(A * subchunk-delta-sum)
+                (exp of the SUM == product of the exps, at 1/seq the element
+                count) instead of the per-element product chain;
+      pass 2  — re-run the recurrence with the true entering carries folded in
+                (one FMA) and contract each step against C immediately
+                (multiply + N-axis add), emitting (ns, KD) rows.
+    """
+    T, N, KD = dA.shape
+    ns = T // seq
+    a4 = dA.reshape(ns, seq, N, KD)
+    b4 = dBu.reshape(ns, seq, N, KD)
+    c4 = Cx.reshape(ns, seq, N, KD)
+    # pass 1: subchunk b-totals
+    cur_b = b4[:, 0]
+    for s in range(1, seq):
+        cur_b = a4[:, s] * cur_b + b4[:, s]
+    tot_a = jnp.exp(dsum[:, None, :] * A[None, :, :])          # (ns, N, KD)
+    hs, _ = _subchunk_carries(tot_a, cur_b, h0, up=False)
+    # pass 2: states on the fly, contracted straight into y
+    st = hs
+    ys = []
+    for s in range(seq):
+        st = a4[:, s] * st + b4[:, s]
+        ys.append(jnp.sum(st * c4[:, s], axis=1))              # (ns, KD)
+    y = jnp.stack(ys, axis=1).reshape(T, KD)
+    h_exit = jnp.squeeze(jax.lax.slice_in_dim(st, ns - 1, ns, axis=0), axis=0)
+    return y, h_exit
+
+
+def _scan_states_2pass(a, b, dsum, A, h0, up: bool = False, seq: int = 16):
+    """Like :func:`_scan_states` but with the a-product chain replaced by
+    exp-of-subchunk-delta-sums (``dsum`` (ns, KD); pass a=alpha and the
+    SHIFTED delta sums for suffix scans). Materializes the (T, N, KD) states
+    (the backward needs them elementwise). Saves 1 op/element over
+    `_scan_states` and the (T,N,KD) outs_a stack."""
+    T = a.shape[0]
+    ns = T // seq
+    rest = a.shape[1:]
+    a4 = a.reshape(ns, seq, *rest)
+    b4 = b.reshape(ns, seq, *rest)
+    order = list(range(seq - 1, -1, -1)) if up else list(range(seq))
+    cur_b = b4[:, order[0]]
+    for s in order[1:]:
+        cur_b = a4[:, s] * cur_b + b4[:, s]
+    tot_a = jnp.exp(dsum[:, None, :] * A[None, :, :])
+    hs, _ = _subchunk_carries(tot_a, cur_b, h0, up)
+    st = hs
+    outs = [None] * seq
+    for s in order:
+        st = a4[:, s] * st + b4[:, s]
+        outs[s] = st
+    return jnp.stack(outs, axis=1).reshape(T, *rest)
+
+
 def _unpack_bc_lanes(M, K: int, Dh: int, N: int):
     """(T, K*2N) packed [B_k | C_k] lane blocks -> two (T, N, K*Dh) arrays.
 
@@ -281,12 +408,17 @@ def _fwd_kernel(u_ref, delta_ref, a_mat_ref, bc_ref, y_ref, carry_ref,
 
     dA = jnp.exp(delta[:, None, :] * A[None, :, :])          # (T, N, KD)
     dBu = (delta * u)[:, None, :] * Bx
-    a_cum, b_cum = _scan_pair(dA, dBu)
-    states = a_cum * h_scratch[...][None] + b_cum             # (T, N, KD)
-    y_ref[0] = jnp.sum(states * Cx, axis=1).astype(y_ref.dtype)
-    T = states.shape[0]
-    h_scratch[...] = jnp.squeeze(
-        jax.lax.slice_in_dim(states, T - 1, T, axis=0), axis=0)
+    T, seq = delta.shape[0], 16
+    if T > seq and T % seq == 0:
+        dsum = jnp.sum(delta.reshape(T // seq, seq, -1), axis=1)
+        y, h_exit = _scan_fused_y(dA, dBu, dsum, A, h_scratch[...], Cx, seq)
+        y_ref[0] = y.astype(y_ref.dtype)
+        h_scratch[...] = h_exit
+    else:
+        states = _scan_states(dA, dBu, h_scratch[...])        # (T, N, KD)
+        y_ref[0] = jnp.sum(states * Cx, axis=1).astype(y_ref.dtype)
+        h_scratch[...] = jnp.squeeze(
+            jax.lax.slice_in_dim(states, T - 1, T, axis=0), axis=0)
 
 
 def _bwd_kernel(u_ref, delta_ref, a_mat_ref, bc_ref, dy_ref, carry_ref,
@@ -314,29 +446,41 @@ def _bwd_kernel(u_ref, delta_ref, a_mat_ref, bc_ref, dy_ref, carry_ref,
     # recompute forward states for this chunk
     dA = jnp.exp(delta[:, None, :] * A[None, :, :])
     dBu = (delta * u)[:, None, :] * Bx
-    a_cum, b_cum = _scan_pair(dA, dBu)
-    states = a_cum * h_in[None] + b_cum                       # h_t
+    T, seq = delta.shape[0], 16
+    two_pass = T > seq and T % seq == 0
+    if two_pass:
+        dsum = jnp.sum(delta.reshape(T // seq, seq, -1), axis=1)
+        states = _scan_states_2pass(dA, dBu, dsum, A, h_in)   # h_t
+    else:
+        states = _scan_states(dA, dBu, h_in)
     h_prev = jnp.concatenate([h_in[None], states[:-1]], axis=0)
 
     # adjoint suffix scan (shift-UP; Mosaic has no `rev`): alpha_t = dA_{t+1}
-    # (fill 1 at t=T-1); after the scan q_cum_t = sum_{s>=t} (prod dA) q_s and
-    # alpha_cum_t = prod_{r>t} dA_r, so G = q_cum + alpha_cum * carry_in.
+    # (fill 1 at t=T-1); g_t = sum_{s>=t} (prod_{t<r<=s} dA_r) q_s with the
+    # chunk-exit carry entering from the right.
     q = Cx * dy[:, None, :]                                   # (T, N, KD)
     alpha = jnp.concatenate([dA[1:], jnp.ones_like(dA[:1])], axis=0)
-    alpha_cum, q_cum = _scan_pair(alpha, q, up=True)
-    G = q_cum + alpha_cum * g_scratch[...][None]              # g_t (T, N, KD)
+    if two_pass:
+        # alpha's decays follow the UP-shifted delta (0-filled at T-1)
+        delta_sh = jnp.concatenate(
+            [delta[1:], jnp.zeros_like(delta[:1])], axis=0)
+        dsum_sh = jnp.sum(delta_sh.reshape(T // seq, seq, -1), axis=1)
+        G = _scan_states_2pass(alpha, q, dsum_sh, A, g_scratch[...],
+                               up=True)                       # g_t (T, N, KD)
+    else:
+        G = _scan_states(alpha, q, g_scratch[...], up=True)
     first = lambda x: jnp.squeeze(jax.lax.slice_in_dim(x, 0, 1, axis=0), axis=0)
     g_scratch[...] = first(dA) * first(G)
 
-    gdA = G * h_prev
+    gdA_dA = (G * h_prev) * dA                                # shared factor
     GB = jnp.sum(G * Bx, axis=1)                              # (T, KD)
-    ddelta_ref[0] = (jnp.sum(gdA * dA * A[None], axis=1) +
+    ddelta_ref[0] = (jnp.sum(gdA_dA * A[None], axis=1) +
                      GB * u).astype(ddelta_ref.dtype)
     du_ref[0] = (GB * delta).astype(du_ref.dtype)
     dbc_ref[0] = _pack_bc_grads(G * (delta * u)[:, None, :],
                                 states * dy[:, None, :], K, Dh, N
                                 ).astype(dbc_ref.dtype)
-    da_scratch[...] += jnp.sum(gdA * dA * delta[:, None, :], axis=0)
+    da_scratch[...] += jnp.sum(gdA_dA * delta[:, None, :], axis=0)
 
     @pl.when(l_idx == nl - 1)
     def _write_da():
@@ -507,6 +651,42 @@ def selective_scan_blkd(u, delta, A, Bmat, Cmat, D=None, delta_bias=None,
         y = jnp.transpose(y_c.reshape(batch, K, Dh, L), (0, 3, 1, 2))
     if D is not None:
         y = y + u32 * D.astype(jnp.float32).reshape(1, 1, K, Dh)
+    return y
+
+
+def selective_scan_packed(u, delta, A_t, bc, D=None, delta_bias=None,
+                          delta_softplus=True, interpret=False):
+    """Fully lane-packed entry (pallas only): operands arrive in EXACTLY the
+    kernel layout, so no reshapes/relayouts happen outside the kernel.
+
+    u/delta (B, L, K*Dh) with direction-major lane blocks; A_t (N, K*Dh);
+    bc (B, L, K*2N) packed per-direction [B_k | C_k] lanes; D/delta_bias
+    (K*Dh,). For SS2D (K=4, Dh=32, N=16) every operand is exactly one
+    128-lane tile — the layout-padding pathology of the unpacked
+    (B, L, K, Dh)/(B, L, K, N) intermediates (lane pad 4-8x) never occurs.
+    Returns y (B, L, K*Dh) promoted like :func:`selective_scan_blkd`.
+    """
+    batch, L, KD = u.shape
+    dstate = A_t.shape[0]
+    compute_dtype = jnp.bfloat16 if u.dtype == jnp.bfloat16 else jnp.float32
+    u_k = u.astype(compute_dtype)
+    bc_k = bc.astype(compute_dtype)
+    delta32 = delta.astype(jnp.float32)
+    if delta_bias is not None:
+        delta32 = delta32 + delta_bias.astype(jnp.float32)[None, None, :]
+    if delta_softplus:
+        delta32 = jax.nn.softplus(delta32)
+    T = _pick_chunk(max(L, 8), dstate, KD)
+    lpad = (-L) % T
+    if lpad:
+        u_p = jnp.pad(u_k, ((0, 0), (0, lpad), (0, 0)))
+        delta32 = jnp.pad(delta32, ((0, 0), (0, lpad), (0, 0)))
+        bc_k = jnp.pad(bc_k, ((0, 0), (0, lpad), (0, 0)))
+    else:
+        u_p = u_k
+    y = _scan_core_pallas(u_p, delta32, A_t, bc_k, interpret)[:, :L]
+    if D is not None:
+        y = y + u_k * D.astype(jnp.float32)[None, None, :]
     return y
 
 

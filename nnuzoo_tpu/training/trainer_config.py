@@ -89,8 +89,12 @@ TRAINER_CONFIGS = {
     "nnUNetTrainerSwT2Net": replace(_ZOO, ds_mode="x2net", num_ds_outputs=7),
     "nnUNetTrainerUNETR2Net": replace(_ZOO, ds_mode="x2net", num_ds_outputs=7),
     "nnUNetTrainerLM2Net": replace(_ZOO, ds_mode="x2net", num_ds_outputs=7),
+    "nnUNetTrainerLM2NetP": replace(_ZOO, ds_mode="x2net", num_ds_outputs=7),
     "nnUNetTrainerLightMamba2Net": replace(_ZOO, ds_mode="x2net", num_ds_outputs=7),
+    "nnUNetTrainerLightMamba2NetP": replace(_ZOO, ds_mode="x2net",
+                                            num_ds_outputs=7),
     "nnUNetTrainerSSND2Net": replace(_ZOO, ds_mode="x2net", num_ds_outputs=7),
+    "nnUNetTrainerSSND2NetP": replace(_ZOO, ds_mode="x2net", num_ds_outputs=7),
     "nnUNetTrainerMambaND2Net": replace(_ZOO, ds_mode="x2net", num_ds_outputs=7),
 }
 

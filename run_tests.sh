@@ -11,7 +11,10 @@ $PYTEST tests/test_foundations.py tests/test_imageio.py tests/test_preprocessing
 $PYTEST tests/test_losses.py tests/test_selective_scan.py tests/test_data_pipeline.py "$@"
 $PYTEST tests/test_models_basic.py tests/test_zoo_models.py "$@"
 $PYTEST tests/test_m2net.py "$@"
-$PYTEST tests/test_x2net.py "$@"
+$PYTEST tests/test_x2net.py tests/test_cross_scan.py "$@"
+$PYTEST tests/test_unetr2net.py tests/test_mamba_nd2net.py "$@"
+$PYTEST tests/test_torch_parity.py tests/test_param_fidelity.py "$@"
+$PYTEST tests/test_finetune_warmup.py "$@"
 $PYTEST tests/test_trainer.py tests/test_translation_target.py tests/test_cascade.py "$@"
 $PYTEST tests/test_ssl_target.py tests/test_blosc2_backend.py "$@"
 $PYTEST tests/test_multihost.py "$@"

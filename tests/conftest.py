@@ -31,3 +31,8 @@ def _assert_cpu():
 @pytest.fixture
 def rng():
     return np.random.RandomState(1234)
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: full-net param-fidelity traces (minutes on 1 CPU)")

@@ -134,3 +134,40 @@ def test_ssnd_module_fused_matches_legacy(rng, monkeypatch):
     y_fused = mod.apply(params, x, train=False)
     np.testing.assert_allclose(np.asarray(y_fused), np.asarray(y_legacy),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_ss2d_module_packed_matches_legacy(rng, monkeypatch):
+    """The lane-packed glue path (TPU default) must match the legacy
+    (materialized-xs) path: outputs, input grads, and parameter grads —
+    the block-diagonal projection matmuls must route gradients back to
+    x_proj_weight / dt_projs_weight exactly."""
+    from nnuzoo_tpu.models.ss2d import SS2D
+
+    x = jnp.asarray(rng.randn(2, 12, 10, 16).astype(np.float32))
+    mod = SS2D(d_model=16, d_state=16)
+    params = mod.init(jax.random.PRNGKey(0), x, train=False)
+
+    def loss(p, x):
+        return jnp.sum(mod.apply(p, x, train=False) ** 2)
+
+    monkeypatch.setenv("NNUZOO_SS2D_PACKED", "0")
+    y_legacy = mod.apply(params, x, train=False)
+    gx_l = jax.grad(loss, argnums=1)(params, x)
+    gp_l = jax.grad(loss, argnums=0)(params, x)
+
+    monkeypatch.setenv("NNUZOO_SS2D_PACKED", "interpret")
+    y_packed = mod.apply(params, x, train=False)
+    gx_p = jax.grad(loss, argnums=1)(params, x)
+    gp_p = jax.grad(loss, argnums=0)(params, x)
+
+    np.testing.assert_allclose(np.asarray(y_packed), np.asarray(y_legacy),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(gx_p), np.asarray(gx_l),
+                               rtol=2e-3, atol=2e-4)
+    flat_p = {jax.tree_util.keystr(k): v
+              for k, v in jax.tree_util.tree_leaves_with_path(gp_p)}
+    for k, v in jax.tree_util.tree_leaves_with_path(gp_l):
+        ks = jax.tree_util.keystr(k)
+        np.testing.assert_allclose(
+            np.asarray(flat_p[ks]), np.asarray(v), rtol=5e-3, atol=5e-4,
+            err_msg=f"param grad mismatch at {ks}")

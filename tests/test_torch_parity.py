@@ -11,9 +11,12 @@ copied into this repository."""
 import importlib.util
 import sys
 import types
+from pathlib import Path
 
 import numpy as np
 import pytest
+
+sys.path.insert(0, str(Path(__file__).parent))  # for `ref_import`
 
 torch = pytest.importorskip("torch")
 jax = pytest.importorskip("jax")
@@ -181,3 +184,182 @@ def test_fused_cross_scan_matches_torch_composite(rng, ref_scan):
             interpret=True)
         np.testing.assert_allclose(np.asarray(out), out_ref, rtol=2e-4,
                                    atol=2e-4, err_msg=f"reverse={reverse}")
+
+
+# --------------------------------------------------------------- weight xfer
+def _t2j(t):
+    return jnp.asarray(t.detach().numpy())
+
+
+def _conv_k(t):  # torch OIHW -> flax HWIO
+    return jnp.asarray(t.detach().numpy().transpose(2, 3, 1, 0))
+
+
+def _lin_k(t):  # torch (out, in) -> flax (in, out)
+    return jnp.asarray(t.detach().numpy().T)
+
+
+def _ln(mod):
+    return {"scale": _t2j(mod.weight), "bias": _t2j(mod.bias)}
+
+
+def _swin_block_params(blk):
+    return {
+        "norm1": _ln(blk.norm1),
+        "norm2": _ln(blk.norm2),
+        "attn": {
+            "relative_position_bias_table":
+                _t2j(blk.attn.relative_position_bias_table),
+            "qkv": {"kernel": _lin_k(blk.attn.qkv.weight),
+                    "bias": _t2j(blk.attn.qkv.bias)},
+            "proj": {"kernel": _lin_k(blk.attn.proj.weight),
+                     "bias": _t2j(blk.attn.proj.bias)},
+        },
+        "mlp": {"fc1": {"kernel": _lin_k(blk.mlp.fc1.weight),
+                        "bias": _t2j(blk.mlp.fc1.bias)},
+                "fc2": {"kernel": _lin_k(blk.mlp.fc2.weight),
+                        "bias": _t2j(blk.mlp.fc2.bias)}},
+    }
+
+
+def test_swt_weight_transfer_logit_parity(rng):
+    """Transfer a reference SwinTransformerUnet's weights into our flax
+    SwinTransformerUnet and compare logits on random input (eval mode, no
+    drop-path active). Exercises patch embed, all (shifted-)window attention
+    blocks incl. relative-position bias and shift masks, patch merging /
+    expanding, skip concat Linears, norm_up, FinalPatchExpanding, and the
+    bias-free head — the whole swt.py:28-160 forward."""
+    torch.manual_seed(0)
+    from functools import partial
+
+    from ref_import import import_reference_net
+    ref_mod = import_reference_net("nnunetv2/nets/swt.py")
+    depths, heads, embed, window, patch = (2, 2, 2, 2), (2, 2, 4, 8), 16, 2, 4
+    # the reference production factory builds with LayerNorm eps=1e-6
+    # (`swt.py:523`), which is also flax's default; torch's class default
+    # (1e-5) drifts up to 0.15 at the logits through the LN-heavy stack
+    ref = ref_mod.SwinTransformerUnet(
+        patch_size=patch, in_ch=1, out_ch=2, embed_dim=embed,
+        window_size=window, depths=depths, num_heads=heads,
+        drop_path_rate=0.0, add_last=False,
+        norm_layer=partial(torch.nn.LayerNorm, eps=1e-6)).eval()
+
+    from nnuzoo_tpu.models.swt import SwinTransformerUnet
+    ours = SwinTransformerUnet(num_classes=2, embed_dim=embed, depths=depths,
+                               num_heads=heads, window=window, patch=patch,
+                               drop_path_rate=0.0)
+
+    n = len(depths)
+    params = {
+        "patch_embed": {
+            "proj": {"kernel": _conv_k(ref.patch_embed.proj.weight),
+                     "bias": _t2j(ref.patch_embed.proj.bias)},
+            "norm": _ln(ref.patch_embed.norm)},
+        "norm_up": _ln(ref.norm_up),
+        "final_expand": {
+            "expand": {"kernel": _lin_k(ref.final_patch_expanding.expand.weight)},
+            "norm": _ln(ref.final_patch_expanding.norm)},
+        "first_expand": {
+            "expand": {"kernel": _lin_k(ref.first_patch_expanding.expand.weight)},
+            "norm": _ln(ref.first_patch_expanding.norm)},
+        "head": {"kernel": _conv_k(ref.head.weight)},
+    }
+    for i, layer in enumerate(ref.layers):
+        params[f"enc{i}"] = {f"block{j}": _swin_block_params(b)
+                             for j, b in enumerate(layer.blocks)}
+        if layer.downsample is not None:
+            params[f"down{i}"] = {
+                "norm": _ln(layer.downsample.norm),
+                "reduction": {"kernel":
+                              _lin_k(layer.downsample.reduction.weight)}}
+    for i, layer in enumerate(ref.layers_up):
+        params[f"dec{i}"] = {f"block{j}": _swin_block_params(b)
+                             for j, b in enumerate(layer.blocks)}
+        if not isinstance(layer.upsample, torch.nn.Identity):
+            params[f"expand{i}"] = {
+                "norm": _ln(layer.upsample.norm),
+                "expand": {"kernel": _lin_k(layer.upsample.expand.weight)}}
+        params[f"concat_back{i}"] = {
+            "kernel": _lin_k(ref.skip_connection_layers[i].weight),
+            "bias": _t2j(ref.skip_connection_layers[i].bias)}
+
+    x = rng.randn(1, 128, 128, 1).astype(np.float32)
+    with torch.no_grad():
+        out_ref = ref(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    out = ours.apply({"params": params}, jnp.asarray(x), train=False)[0]
+    np.testing.assert_allclose(
+        np.asarray(out), out_ref.numpy().transpose(0, 2, 3, 1),
+        rtol=1e-4, atol=1e-4)
+
+
+def _rebnconv(mod):
+    """Reference REBNCONV (conv + BN + relu) -> our REBNCONV (conv +
+    GroupNorm(group_size=1)). With batch size 1 and the torch net in train
+    mode, BatchNorm2d's batch statistics equal per-sample instance statistics,
+    so the two normalizations agree exactly."""
+    return {"conv": {"kernel": _conv_k(mod.conv_s1.weight),
+                     "bias": _t2j(mod.conv_s1.bias)},
+            "norm": {"scale": _t2j(mod.bn_s1.weight),
+                     "bias": _t2j(mod.bn_s1.bias)}}
+
+
+def _rsu(mod, levels):
+    p = {"rebnconvin": _rebnconv(mod.rebnconvin)}
+    for j in range(1, levels):
+        p[f"enc{j}"] = _rebnconv(getattr(mod, f"rebnconv{j}"))
+    p["bottom"] = _rebnconv(getattr(mod, f"rebnconv{levels}"))
+    for j in range(levels - 1, 1, -1):
+        p[f"dec{j - 1}"] = _rebnconv(getattr(mod, f"rebnconv{j}d"))
+    p["dec0"] = _rebnconv(mod.rebnconv1d)
+    return p
+
+
+def _rsu4f(mod):
+    p = {"rebnconvin": _rebnconv(mod.rebnconvin)}
+    for j in (1, 2, 3, 4):
+        p[f"conv{j}"] = _rebnconv(getattr(mod, f"rebnconv{j}"))
+    for j in (3, 2, 1):
+        p[f"conv{j}d"] = _rebnconv(getattr(mod, f"rebnconv{j}d"))
+    return p
+
+
+def test_u2netp_weight_transfer_logit_parity(rng):
+    """Transfer a reference U2NETP's weights into our flax U2Net(small) and
+    compare logits (batch 1, torch in train mode — see `_rebnconv`). Covers
+    every RSU/RSU4F stage, the bilinear upsamples, side heads, and outconv."""
+    torch.manual_seed(0)
+    from ref_import import import_reference_net
+    ref_mod = import_reference_net("nnunetv2/nets/u2net.py")
+    ref = ref_mod.U2NETP(in_ch=1, out_ch=2, deep_supervision=True).train()
+
+    from nnuzoo_tpu.models.u2net import U2Net
+    ours = U2Net(num_classes=2, small=True)
+
+    params = {}
+    for k, levels in (("stage1", 7), ("stage2", 6), ("stage3", 5),
+                      ("stage4", 4)):
+        params[k] = _rsu(getattr(ref, k), levels)
+        params[k + "d"] = _rsu(getattr(ref, k + "d"), levels)
+    for k in ("stage5", "stage6", "stage5d"):
+        params[k] = _rsu4f(getattr(ref, k))
+    for i in range(1, 7):
+        side = getattr(ref, f"side{i}")
+        params[f"side{i}"] = {"kernel": _conv_k(side.weight),
+                              "bias": _t2j(side.bias)}
+    params["outconv"] = {"kernel": _conv_k(ref.outconv.weight),
+                         "bias": _t2j(ref.outconv.bias)}
+
+    x = rng.randn(1, 64, 64, 1).astype(np.float32)
+    with torch.no_grad():
+        outs_ref = ref(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    outs = ours.apply({"params": params}, jnp.asarray(x), train=False)
+    assert len(outs) == len(outs_ref) == 7
+    # fp32 accumulation-order noise through ~50 convs + norm std divisions
+    # (XLA vs torch summation orders): measured max ~2.3e-3, mean 1e-4–4e-4
+    # across runs (XLA CPU thread count changes the reduction order).
+    # Structural drift (e.g. a wrong norm eps) measures ~1e-1 — these bounds
+    # separate the two regimes by two orders of magnitude.
+    for o, r in zip(outs, outs_ref):
+        d = np.abs(np.asarray(o) - r.detach().numpy().transpose(0, 2, 3, 1))
+        assert d.max() < 5e-3, f"max {d.max()}"
+        assert d.mean() < 1e-3, f"mean {d.mean()}"
