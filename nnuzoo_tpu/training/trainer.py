@@ -156,15 +156,41 @@ class Trainer:
         if cfg.ds_mode == "fullres":
             return tuple((1.0,) * dim for _ in range(cfg.num_ds_outputs))
         if cfg.ds_mode == "halving":
+            probed = self._probe_output_scales()
+            if probed is not None:
+                return probed
             return tuple(tuple(1.0 / (2 ** i) for _ in range(dim))
                          for i in range(cfg.num_ds_outputs))
         if cfg.ds_mode == "x2net":
-            # (reference `nnUNetTrainerM2Net.py:49-56`): d0, d1 full, then halving
+            # the nominal plan (reference `nnUNetTrainerM2Net.py:49-56`) is
+            # d0, d1 full-res then halving, but at small patch sizes the
+            # X2Net merges clamp/truncate, so derive the TRUE scales from the
+            # model's output shapes (trace-only eval_shape, no compile)
+            probed = self._probe_output_scales()
+            if probed is not None:
+                return probed
             scales = [(1.0,) * dim, (1.0,) * dim]
             for i in range(cfg.num_ds_outputs - 2):
                 scales.append(tuple(1.0 / (2 ** (i + 1)) for _ in range(dim)))
             return tuple(scales)
         raise RuntimeError(f"unknown ds_mode {cfg.ds_mode}")
+
+    def _probe_output_scales(self):
+        """Per-output spatial scales from the model's actual output shapes at
+        the configured patch size (abstract trace; DS targets built from these
+        always match, whatever the architecture's clamping/truncation does)."""
+        if self.model is None:
+            return None
+        patch = tuple(int(i) for i in self.configuration_manager.patch_size)
+        x = jax.ShapeDtypeStruct((1, *patch, self.num_input_channels),
+                                 jnp.float32)
+        outs, _ = jax.eval_shape(
+            partial(self.model.init_with_output, train=False),
+            jax.random.PRNGKey(0), x)
+        if not isinstance(outs, (list, tuple)):
+            outs = [outs]
+        return tuple(tuple(o.shape[1 + i] / patch[i] for i in range(len(patch)))
+                     for o in outs)
 
     # ----------------------------------------------------------------- aug setup
     def configure_rotation_dummyDA_mirroring_and_initial_patch_size(self):
