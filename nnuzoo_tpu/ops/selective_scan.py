@@ -27,6 +27,7 @@ Implementations:
 """
 
 import math
+import os
 from functools import partial
 from typing import Optional
 
@@ -408,7 +409,7 @@ def _fwd_kernel(u_ref, delta_ref, a_mat_ref, bc_ref, y_ref, carry_ref,
 
     dA = jnp.exp(delta[:, None, :] * A[None, :, :])          # (T, N, KD)
     dBu = (delta * u)[:, None, :] * Bx
-    T, seq = delta.shape[0], 16
+    T, seq = delta.shape[0], int(os.environ.get("NNUZOO_SCAN_SEQ", "16"))
     if T > seq and T % seq == 0:
         dsum = jnp.sum(delta.reshape(T // seq, seq, -1), axis=1)
         y, h_exit = _scan_fused_y(dA, dBu, dsum, A, h_scratch[...], Cx, seq)
@@ -446,11 +447,11 @@ def _bwd_kernel(u_ref, delta_ref, a_mat_ref, bc_ref, dy_ref, carry_ref,
     # recompute forward states for this chunk
     dA = jnp.exp(delta[:, None, :] * A[None, :, :])
     dBu = (delta * u)[:, None, :] * Bx
-    T, seq = delta.shape[0], 16
+    T, seq = delta.shape[0], int(os.environ.get("NNUZOO_SCAN_SEQ", "16"))
     two_pass = T > seq and T % seq == 0
     if two_pass:
         dsum = jnp.sum(delta.reshape(T // seq, seq, -1), axis=1)
-        states = _scan_states_2pass(dA, dBu, dsum, A, h_in)   # h_t
+        states = _scan_states_2pass(dA, dBu, dsum, A, h_in, seq=seq)
     else:
         states = _scan_states(dA, dBu, h_in)
     h_prev = jnp.concatenate([h_in[None], states[:-1]], axis=0)
@@ -466,7 +467,7 @@ def _bwd_kernel(u_ref, delta_ref, a_mat_ref, bc_ref, dy_ref, carry_ref,
             [delta[1:], jnp.zeros_like(delta[:1])], axis=0)
         dsum_sh = jnp.sum(delta_sh.reshape(T // seq, seq, -1), axis=1)
         G = _scan_states_2pass(alpha, q, dsum_sh, A, g_scratch[...],
-                               up=True)                       # g_t (T, N, KD)
+                               up=True, seq=seq)             # g_t (T, N, KD)
     else:
         G = _scan_states(alpha, q, g_scratch[...], up=True)
     first = lambda x: jnp.squeeze(jax.lax.slice_in_dim(x, 0, 1, axis=0), axis=0)
