@@ -18,12 +18,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def bench(fn, args, reps=8):
+    # fence with a device-side scalar sum: np.asarray(out) would pull the
+    # full (B, L, KD) array through the axon relay (~100x timing inflation)
     out = fn(*args)
-    f = float(np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[0])
+    f = float(jax.tree_util.tree_leaves(out)[0].sum())
     t0 = time.time()
     for _ in range(reps):
         out = fn(*args)
-    f += float(np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[0])
+    f += float(jax.tree_util.tree_leaves(out)[0].sum())
     return (time.time() - t0) / reps * 1e3
 
 

@@ -158,6 +158,9 @@ def selective_scan_xla(u, delta, A, B, C, D=None, z=None, delta_bias=None,
 
 
 # ===================================================================== Pallas
+_LOG2E = 1.4426950408889634  # exp(x) == exp2(x * log2(e)); exp2 is ~2.3x
+#                              cheaper than exp on the v5e VPU
+
 # Kernel contract ("K-packed"): the K cross-scan directions live in the CHANNEL
 # (lane) dimension, so small per-direction widths (e.g. SS2D d_inner=32, K=4)
 # still fill the 128-lane VPU. Shapes:
@@ -296,7 +299,7 @@ def _subchunk_carries(tot_a, tot_b, h0, up: bool):
     return jnp.stack(hs, axis=0), h
 
 
-def _scan_fused_y(dA, dBu, dsum, A, h0, Cx, seq: int = 16):
+def _scan_fused_y(dA, dBu, dsum, A2, h0, Cx, seq: int = 16):
     """Forward scan with the output contraction FUSED into the second pass:
     returns (y (T, KD), chunk-exit state (N, KD)) without ever materializing
     the (T, N, KD) state stack.
@@ -322,7 +325,7 @@ def _scan_fused_y(dA, dBu, dsum, A, h0, Cx, seq: int = 16):
     cur_b = b4[:, 0]
     for s in range(1, seq):
         cur_b = a4[:, s] * cur_b + b4[:, s]
-    tot_a = jnp.exp(dsum[:, None, :] * A[None, :, :])          # (ns, N, KD)
+    tot_a = jnp.exp2(dsum[:, None, :] * A2[None, :, :])        # (ns, N, KD)
     hs, _ = _subchunk_carries(tot_a, cur_b, h0, up=False)
     # pass 2: states on the fly, contracted straight into y
     st = hs
@@ -335,11 +338,11 @@ def _scan_fused_y(dA, dBu, dsum, A, h0, Cx, seq: int = 16):
     return y, h_exit
 
 
-def _scan_states_2pass(a, b, dsum, A, h0, up: bool = False, seq: int = 16):
+def _scan_states_2pass(a, b, dsum, A2, h0, up: bool = False, seq: int = 16):
     """Like :func:`_scan_states` but with the a-product chain replaced by
-    exp-of-subchunk-delta-sums (``dsum`` (ns, KD); pass a=alpha and the
-    SHIFTED delta sums for suffix scans). Materializes the (T, N, KD) states
-    (the backward needs them elementwise). Saves 1 op/element over
+    exp2-of-subchunk-delta-sums (``dsum`` (ns, KD); pass a=alpha, A2=A*log2e
+    and the SHIFTED delta sums for suffix scans). Materializes the (T, N, KD)
+    states (the backward needs them elementwise). Saves 1 op/element over
     `_scan_states` and the (T,N,KD) outs_a stack."""
     T = a.shape[0]
     ns = T // seq
@@ -350,7 +353,7 @@ def _scan_states_2pass(a, b, dsum, A, h0, up: bool = False, seq: int = 16):
     cur_b = b4[:, order[0]]
     for s in order[1:]:
         cur_b = a4[:, s] * cur_b + b4[:, s]
-    tot_a = jnp.exp(dsum[:, None, :] * A[None, :, :])
+    tot_a = jnp.exp2(dsum[:, None, :] * A2[None, :, :])
     hs, _ = _subchunk_carries(tot_a, cur_b, h0, up)
     st = hs
     outs = [None] * seq
@@ -407,12 +410,13 @@ def _fwd_kernel(u_ref, delta_ref, a_mat_ref, bc_ref, y_ref, carry_ref,
 
     carry_ref[0, 0] = h_scratch[...]  # state entering this chunk
 
-    dA = jnp.exp(delta[:, None, :] * A[None, :, :])          # (T, N, KD)
+    A2 = A * _LOG2E
+    dA = jnp.exp2(delta[:, None, :] * A2[None, :, :])        # (T, N, KD)
     dBu = (delta * u)[:, None, :] * Bx
     T, seq = delta.shape[0], int(os.environ.get("NNUZOO_SCAN_SEQ", "16"))
     if T > seq and T % seq == 0:
         dsum = jnp.sum(delta.reshape(T // seq, seq, -1), axis=1)
-        y, h_exit = _scan_fused_y(dA, dBu, dsum, A, h_scratch[...], Cx, seq)
+        y, h_exit = _scan_fused_y(dA, dBu, dsum, A2, h_scratch[...], Cx, seq)
         y_ref[0] = y.astype(y_ref.dtype)
         h_scratch[...] = h_exit
     else:
@@ -420,6 +424,124 @@ def _fwd_kernel(u_ref, delta_ref, a_mat_ref, bc_ref, y_ref, carry_ref,
         y_ref[0] = jnp.sum(states * Cx, axis=1).astype(y_ref.dtype)
         h_scratch[...] = jnp.squeeze(
             jax.lax.slice_in_dim(states, T - 1, T, axis=0), axis=0)
+
+
+def _bwd_kernel_fused(u_ref, delta_ref, a_mat_ref, bc_ref, dy_ref, carry_ref,
+                      du_ref, ddelta_ref, dbc_ref, da_out_ref,
+                      g_scratch, da_scratch, *, K: int, Dh: int, N: int,
+                      seq: int):
+    """Fused backward: same math as :func:`_bwd_kernel` with the gradient
+    element-wise work folded INTO the second-pass scan loops, so the kernel
+    never materializes the full (T, N, KD) `states`/`h_prev`/`alpha` arrays or
+    stacks G — the kernels are VPU-instruction-bound, and each avoided
+    materialization is a full-array move. Requires T % seq == 0.
+
+    Structure:
+      adjoint pass A1 (descending)  — subchunk suffix q-totals (1 FMA/el)
+      carries                       — exp(shifted-dsum x A) totals + tiny combine
+      adjoint pass A2 (descending)  — G slabs, kept as a per-s list (no stack)
+      forward pass F1 (ascending)   — subchunk dBu-totals (1 FMA/el)
+      carries                       — exp(dsum x A) totals + tiny combine
+      forward pass F2 (ascending)   — recompute state slab, consume G slab,
+                                      emit all five gradient contributions
+    """
+    l_idx = pl.program_id(1)
+    nl = pl.num_programs(1)
+
+    @pl.when(l_idx == 0)
+    def _init():
+        g_scratch[...] = jnp.zeros_like(g_scratch)
+        da_scratch[...] = jnp.zeros_like(da_scratch)
+
+    u = u_ref[0].astype(jnp.float32)
+    delta = delta_ref[0].astype(jnp.float32)
+    A = a_mat_ref[...]
+    Bx, Cx = _unpack_bc_lanes(bc_ref[0].astype(jnp.float32), K, Dh, N)
+    dy = dy_ref[0].astype(jnp.float32)
+    h_in = carry_ref[0, 0]
+
+    T = delta.shape[0]
+    ns = T // seq
+    KD = K * Dh
+    # exp2 is ~2.3x cheaper than exp on the v5e VPU (probe_vpu_ops); fold
+    # log2(e) into A once per chunk ((N, KD) — negligible)
+    A2 = A * _LOG2E
+    dA = jnp.exp2(delta[:, None, :] * A2[None, :, :])         # (T, N, KD)
+    du_el = delta * u                                          # (T, KD)
+    dBu = du_el[:, None, :] * Bx
+    q = Cx * dy[:, None, :]
+
+    dA4 = dA.reshape(ns, seq, N, KD)
+    dBu4 = dBu.reshape(ns, seq, N, KD)
+    q4 = q.reshape(ns, seq, N, KD)
+    Bx4 = Bx.reshape(ns, seq, N, KD)
+    u4 = u.reshape(ns, seq, KD)
+    d4 = delta.reshape(ns, seq, KD)
+    du4 = du_el.reshape(ns, seq, KD)
+    dy4 = dy.reshape(ns, seq, KD)
+
+    # alpha_t = dA_{t+1}: within a subchunk alpha4[:, s] == dA4[:, s+1]; the
+    # last position couples to the NEXT subchunk's first dA (ones at chunk end)
+    alpha_last = jnp.concatenate(
+        [dA4[1:, 0], jnp.ones((1, N, KD), jnp.float32)], axis=0)   # (ns,N,KD)
+
+    # ---- adjoint suffix scan -------------------------------------------
+    # pass A1: subchunk suffix totals of q under alpha
+    cur_q = q4[:, seq - 1]
+    for s in range(seq - 2, -1, -1):
+        cur_q = dA4[:, s + 1] * cur_q + q4[:, s]
+    # subchunk decay totals for alpha = exp(A * sum of SHIFTED deltas):
+    # shifted delta sums cover positions j*seq+1 .. j*seq+seq
+    dfull = jnp.sum(d4, axis=1)                                # (ns, KD)
+    dsh = dfull - d4[:, 0] + jnp.concatenate(
+        [d4[1:, 0], jnp.zeros((1, KD), jnp.float32)], axis=0)  # (ns, KD)
+    tot_a_sh = jnp.exp2(dsh[:, None, :] * A2[None, :, :])      # (ns, N, KD)
+    gs, _ = _subchunk_carries(tot_a_sh, cur_q, g_scratch[...], up=True)
+    # pass A2: G slabs (kept as a per-s python list — never stacked)
+    G_slabs = [None] * seq
+    st_g = gs
+    for s in range(seq - 1, -1, -1):
+        a_s = alpha_last if s == seq - 1 else dA4[:, s + 1]
+        st_g = a_s * st_g + q4[:, s]
+        G_slabs[s] = st_g
+    # g entering the PREVIOUS chunk (processed next, reverse order) from the
+    # right: g_{-1} = dA_0 * G_0
+    g_scratch[...] = dA4[0, 0] * G_slabs[0][0]
+
+    # ---- forward recompute + fused gradients ---------------------------
+    cur_b = dBu4[:, 0]
+    for s in range(1, seq):
+        cur_b = dA4[:, s] * cur_b + dBu4[:, s]
+    tot_a = jnp.exp2(dfull[:, None, :] * A2[None, :, :])
+    hs, _ = _subchunk_carries(tot_a, cur_b, h_in, up=False)
+
+    st = hs
+    da_acc = da_scratch[...]
+    dd_slabs = [None] * seq
+    du_slabs = [None] * seq
+    dbc_slabs = [None] * seq
+    for s in range(seq):
+        g = G_slabs[s]
+        h_prev = st
+        st = dA4[:, s] * st + dBu4[:, s]
+        gdA_dA = (g * h_prev) * dA4[:, s]                      # (ns, N, KD)
+        GB = jnp.sum(g * Bx4[:, s], axis=1)                    # (ns, KD)
+        dd_slabs[s] = jnp.sum(gdA_dA * A[None], axis=1) + GB * u4[:, s]
+        du_slabs[s] = GB * d4[:, s]
+        dbc_slabs[s] = _pack_bc_grads(g * du4[:, s][:, None, :],
+                                      st * dy4[:, s][:, None, :], K, Dh, N)
+        da_acc = da_acc + jnp.sum(gdA_dA * d4[:, s][:, None, :], axis=0)
+    da_scratch[...] = da_acc
+
+    ddelta_ref[0] = jnp.stack(dd_slabs, axis=1).reshape(T, KD).astype(
+        ddelta_ref.dtype)
+    du_ref[0] = jnp.stack(du_slabs, axis=1).reshape(T, KD).astype(du_ref.dtype)
+    dbc_ref[0] = jnp.stack(dbc_slabs, axis=1).reshape(
+        T, 2 * K * N).astype(dbc_ref.dtype)
+
+    @pl.when(l_idx == nl - 1)
+    def _write_da():
+        da_out_ref[0] = da_scratch[...]
 
 
 def _bwd_kernel(u_ref, delta_ref, a_mat_ref, bc_ref, dy_ref, carry_ref,
@@ -445,13 +567,14 @@ def _bwd_kernel(u_ref, delta_ref, a_mat_ref, bc_ref, dy_ref, carry_ref,
     h_in = carry_ref[0, 0]  # (N, KD) state entering this chunk
 
     # recompute forward states for this chunk
-    dA = jnp.exp(delta[:, None, :] * A[None, :, :])
+    A2 = A * _LOG2E
+    dA = jnp.exp2(delta[:, None, :] * A2[None, :, :])
     dBu = (delta * u)[:, None, :] * Bx
     T, seq = delta.shape[0], int(os.environ.get("NNUZOO_SCAN_SEQ", "16"))
     two_pass = T > seq and T % seq == 0
     if two_pass:
         dsum = jnp.sum(delta.reshape(T // seq, seq, -1), axis=1)
-        states = _scan_states_2pass(dA, dBu, dsum, A, h_in, seq=seq)
+        states = _scan_states_2pass(dA, dBu, dsum, A2, h_in, seq=seq)
     else:
         states = _scan_states(dA, dBu, h_in)
     h_prev = jnp.concatenate([h_in[None], states[:-1]], axis=0)
@@ -466,7 +589,7 @@ def _bwd_kernel(u_ref, delta_ref, a_mat_ref, bc_ref, dy_ref, carry_ref,
         delta_sh = jnp.concatenate(
             [delta[1:], jnp.zeros_like(delta[:1])], axis=0)
         dsum_sh = jnp.sum(delta_sh.reshape(T // seq, seq, -1), axis=1)
-        G = _scan_states_2pass(alpha, q, dsum_sh, A, g_scratch[...],
+        G = _scan_states_2pass(alpha, q, dsum_sh, A2, g_scratch[...],
                                up=True, seq=seq)             # g_t (T, N, KD)
     else:
         G = _scan_states(alpha, q, g_scratch[...], up=True)
@@ -563,8 +686,18 @@ def _scan_core_pallas_bwd(interpret, residuals, dy):
                               lambda b, l: (b, nl - 1 - l, 0, 0))
     da_spec = pl.BlockSpec((1, dstate, KD), lambda b, l: (b, 0, 0))
 
+    # The fully-fused backward (gradient work folded into the scan loops,
+    # nothing (T, N, KD)-shaped materialized) measured SLOWER on-chip than the
+    # 2-pass kernel (fwd+bwd 118 vs 90 ms at the canonical stage-1 shape) and
+    # compiled 75x slower — the per-s slab lists defeat Mosaic's scheduler.
+    # It stays as an opt-in experiment: NNUZOO_SCAN_BWD=fused.
+    seq = int(os.environ.get("NNUZOO_SCAN_SEQ", "16"))
+    use_fused = (T > seq and T % seq == 0 and
+                 os.environ.get("NNUZOO_SCAN_BWD", "2pass") == "fused")
+    kern = (partial(_bwd_kernel_fused, K=K, Dh=Dh, N=dstate, seq=seq)
+            if use_fused else partial(_bwd_kernel, K=K, Dh=Dh, N=dstate))
     du, ddelta, dbc, dA = pl.pallas_call(
-        partial(_bwd_kernel, K=K, Dh=Dh, N=dstate),
+        kern,
         grid=grid,
         in_specs=[ud_spec, ud_spec, a_spec, bc_spec, ud_spec, carry_spec],
         out_specs=(ud_spec, ud_spec, bc_spec, da_spec),

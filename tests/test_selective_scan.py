@@ -131,6 +131,44 @@ class TestGradients:
                 f"{name}: {np.abs(np.asarray(gr) - np.asarray(gp)).max()}"
 
 
+class TestFusedKernelPaths:
+    """Exact parity for the hierarchical fast paths: L long enough that the
+    chunked kernel takes the T % seq == 0 branch (fused-y forward; fused or
+    2-pass backward), across multiple chunks so the inter-chunk carry and the
+    reverse-order adjoint carry are both exercised. The small-L tests above
+    (L=19/37) only ever hit the Hillis-Steele fallback."""
+
+    @pytest.mark.parametrize("bwd_mode", ["fused", "2pass"])
+    def test_multichunk_fwd_and_grad_match_ref(self, rng, bwd_mode, monkeypatch):
+        import os
+        monkeypatch.setenv("NNUZOO_SCAN_BWD", bwd_mode)
+        monkeypatch.setenv("NNUZOO_SCAN_CHUNK", "128")
+        # L = 2 chunks of 128; seq=16 divides T -> fused paths active
+        inputs = _make_inputs(rng, batch=2, dim=4, dstate=4, L=256, groups=2)
+        args = [jnp.asarray(x) if x is not None else None for x in inputs]
+
+        expected = _numpy_oracle(*inputs)
+        got = selective_scan_pallas(*args, delta_softplus=True, interpret=True)
+        assert np.allclose(np.asarray(got), expected, atol=2e-3, rtol=1e-4), \
+            np.abs(np.asarray(got) - expected).max()
+
+        def f_ref(u, delta, A, B, C, D, z, bias):
+            return jnp.sum(selective_scan_ref_jax(
+                u, delta, A, B, C, D, z, bias, delta_softplus=True) ** 2)
+
+        def f_pal(u, delta, A, B, C, D, z, bias):
+            return jnp.sum(selective_scan_pallas(
+                u, delta, A, B, C, D, z, bias, delta_softplus=True,
+                interpret=True) ** 2)
+
+        g_ref = jax.grad(f_ref, argnums=(0, 1, 2, 3, 4, 5, 6, 7))(*args)
+        g_pal = jax.grad(f_pal, argnums=(0, 1, 2, 3, 4, 5, 6, 7))(*args)
+        for gr, gp, name in zip(g_ref, g_pal, "u delta A B C D z bias".split()):
+            scale = max(1.0, float(jnp.max(jnp.abs(gr))))
+            err = np.abs(np.asarray(gr) - np.asarray(gp)).max()
+            assert err < 2e-3 * scale, f"{bwd_mode} {name}: {err} (scale {scale})"
+
+
 def test_dispatcher_runs(rng):
     inputs = _make_inputs(rng, L=16)
     args = [jnp.asarray(x) if x is not None else None for x in inputs]
