@@ -81,12 +81,67 @@ def nplane_kernel(u_ref, delta_ref, a_mat_ref, bc_ref, s_ref, y_ref, carry_ref,
     if stage == "munpack":
         acc = jnp.zeros((T, KDl), jnp.float32)
         for n in range(N):
+            # DEFAULT precision: bc is bf16 data and S is a 0/1 matrix exactly
+            # representable in bf16, so bf16xbf16->f32 MXU accumulate is exact.
+            # (HIGHEST with bf16 operands fails Mosaic: "Bad lhs type".)
             bxcx = jax.lax.dot_general(
                 bc, s_ref[n], (((1,), (0,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
                 preferred_element_type=jnp.float32)     # (T, 2KD)
             acc = acc + bxcx[:, :KDl] + bxcx[:, KDl:]
         y_ref[0] = acc.astype(y_ref.dtype)
+        return
+
+    if stage == "m1unpack":
+        # single (T, 2KN) @ (2KN, N*2KD) matmul; planes live side by side on
+        # lanes and are sliced out at 2KD granularity (lane-aligned).
+        allp = jax.lax.dot_general(
+            bc, s_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)          # (T, N*2KD)
+        acc = jnp.zeros((T, KDl), jnp.float32)
+        for n in range(N):
+            sl = allp[:, n * 2 * KDl:(n + 1) * 2 * KDl]
+            acc = acc + sl[:, :KDl] + sl[:, KDl:]
+        y_ref[0] = acc.astype(y_ref.dtype)
+        return
+
+    if stage == "m2full":
+        # MXU unpack with planes STACKED ON THE LEADING AXIS: (N, T, 2KD).
+        # Leading-dim stacking is layout-free (tile buffers concatenate), and
+        # every subchunk-scan op below runs on (N, ns, KD) = 16-vreg slabs
+        # across all planes at once — vs mfull's per-plane (ns, KD) 1-vreg ops.
+        ns = T // seq
+        du = delta * u                                   # (T, KD)
+        planes = [
+            jax.lax.dot_general(bc, s_ref[n], (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+            for n in range(N)]
+        allp = jnp.stack(planes, axis=0)                 # (N, T, 2KD)
+        Bx = allp[:, :, :KDl].reshape(N, ns, seq, KDl)
+        Cx = allp[:, :, KDl:].reshape(N, ns, seq, KDl)
+        d4 = delta.reshape(1, ns, seq, KDl)
+        du4 = du.reshape(1, ns, seq, KDl)
+        dA = jnp.exp2(d4 * A2[:, None, None, :])         # (N, ns, seq, KD)
+        dBu = du4 * Bx
+        # pass 1: subchunk b-totals, all planes at once
+        cur_b = dBu[:, :, 0]
+        for s in range(1, seq):
+            cur_b = dA[:, :, s] * cur_b + dBu[:, :, s]
+        dsum = jnp.sum(d4, axis=2)                       # (1, ns, KD)
+        tot_a = jnp.exp2(dsum * A2[:, None, :])          # (N, ns, KD)
+        h = h_scratch[...]                               # (N, KD)
+        hs = [None] * ns
+        for i in range(ns):
+            hs[i] = h
+            h = tot_a[:, i] * h + cur_b[:, i]
+        h_scratch[...] = h
+        st = jnp.stack(hs, axis=1)                       # (N, ns, KD)
+        yp = [None] * seq
+        for s in range(seq):
+            st = dA[:, :, s] * st + dBu[:, :, s]
+            yp[s] = st * Cx[:, :, s]
+        yfull = jnp.stack(yp, axis=2)                    # (N, ns, seq, KD)
+        y = jnp.sum(yfull, axis=0).reshape(T, KDl)       # 15 adds of 16 vregs
+        y_ref[0] = y.astype(y_ref.dtype)
         return
 
     if stage == "mfull":
@@ -101,7 +156,6 @@ def nplane_kernel(u_ref, delta_ref, a_mat_ref, bc_ref, s_ref, y_ref, carry_ref,
         for n in range(N):
             bxcx = jax.lax.dot_general(
                 bc, s_ref[n], (((1,), (0,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
                 preferred_element_type=jnp.float32)      # (T, 2KD)
             Bx = bxcx[:, :KDl].reshape(ns, seq, KDl)
             Cx = bxcx[:, KDl:].reshape(ns, seq, KDl)
@@ -134,10 +188,14 @@ def nplane_kernel(u_ref, delta_ref, a_mat_ref, bc_ref, s_ref, y_ref, carry_ref,
 def run_nplane(stage, T, seq, u, dt, bc, A_t, Smat):
     nl = L // T
     grid = (B, nl)
+    if stage.startswith("m1"):
+        # flatten planes onto lanes: (1, 2KN, N*2KD)
+        Smat = jnp.transpose(Smat, (1, 0, 2)).reshape(
+            1, 2 * K * N, N * 2 * KD)
     ud_spec = pl.BlockSpec((1, T, KD), lambda b, l: (b, l, 0))
     a_spec = pl.BlockSpec((N, KD), lambda b, l: (0, 0))
     bc_spec = pl.BlockSpec((1, T, 2 * K * N), lambda b, l: (b, l, 0))
-    s_spec = pl.BlockSpec((N, 2 * K * N, 2 * KD), lambda b, l: (0, 0, 0))
+    s_spec = pl.BlockSpec(Smat.shape, lambda b, l: (0, 0, 0))
     carry_spec = pl.BlockSpec((1, 1, N, KD), lambda b, l: (b, l, 0, 0))
 
     @jax.jit
@@ -281,7 +339,7 @@ if __name__ == "__main__":
 
     # ---- N-plane (MXU-unpack) variants ----
     Smat = make_selection(K, Dh, N, bc.dtype)
-    for stage in ["munpack", "mfull"]:
+    for stage in ["munpack", "m1unpack", "mfull", "m2full"]:
         t = bench(run_nplane(stage, chunk, seq, u, dt, bc, A_t, Smat),
                   (u, dt, bc))
         print(f"{stage:8s}: {t:7.2f} ms", flush=True)

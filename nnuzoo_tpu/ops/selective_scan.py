@@ -393,6 +393,226 @@ def _pack_bc_grads(dB, dC, K: int, Dh: int, N: int):
     return jnp.concatenate(parts, axis=1)                       # (T, K*2N)
 
 
+def _selection_matrix(K: int, Dh: int, N: int, dtype) -> jnp.ndarray:
+    """Constant 0/1 selection operand S (N, 2KN, 2KD) with
+    ``bc (T, 2KN) @ S[n] == [Bx_n | Cx_n] (T, 2KD)`` — the B/C lane unpack as
+    an MXU matmul instead of lane slices + lane->sublane broadcasts (which cost
+    ~17 ms/chunk-set at the canonical stage-1 shape, ~70%% of the old forward
+    kernel; probe_scan_floor.py). Each output column has exactly one nonzero
+    row, so the matmul is an exact copy even with bf16 operands; the same
+    operand packs B/C GRADIENTS in the backward via the transposed contraction
+    ``[dB_n | dC_n] (T, 2KD) @ S[n]^T`` (summing each direction's Dh lane
+    block, exactly `_pack_bc_grads`)."""
+    KD = K * Dh
+    S = np.zeros((N, 2 * K * N, 2 * KD), np.float32)
+    for n in range(N):
+        for k in range(K):
+            S[n, k * 2 * N + n, k * Dh:(k + 1) * Dh] = 1.0
+            S[n, k * 2 * N + N + n, KD + k * Dh:KD + (k + 1) * Dh] = 1.0
+    return jnp.asarray(S, dtype)
+
+
+def _mxu_unpack_bc(bc, s_ref, N: int):
+    """bc (T, 2KN) -> Bx, Cx stacked plane-major (N, T, KD) via N MXU matmuls.
+    Leading-axis stacking is layout-free, and all scan math downstream runs on
+    (N, ns, KD) full-width slabs."""
+    KD = s_ref.shape[2] // 2
+    planes = [
+        jax.lax.dot_general(bc, s_ref[n], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+        for n in range(N)]
+    allp = jnp.stack(planes, axis=0)                      # (N, T, 2KD)
+    return (jax.lax.slice_in_dim(allp, 0, KD, axis=2),
+            jax.lax.slice_in_dim(allp, KD, 2 * KD, axis=2))
+
+
+def _mxu_pack_bc_grads(dB, dC, s_ref, N: int, out_dtype):
+    """Stacked (N, T, KD) B/C gradients -> packed (T, 2KN) via the transposed
+    selection contraction (sums each direction's Dh lane block on the MXU)."""
+    dBC = jnp.concatenate([dB, dC], axis=2)               # (N, T, 2KD)
+    acc = None
+    for n in range(N):
+        part = jax.lax.dot_general(
+            dBC[n], s_ref[n], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)           # (T, 2KN)
+        acc = part if acc is None else acc + part
+    return acc.astype(out_dtype)
+
+
+def _fwd_kernel_mxu(u_ref, delta_ref, a_mat_ref, bc_ref, s_ref, y_ref,
+                    carry_ref, h_scratch, *, K: int, Dh: int, N: int,
+                    seq: int):
+    """Forward kernel, MXU-unpack + plane-stacked layout. Same math as
+    :func:`_fwd_kernel`/`_scan_fused_y` with the B/C lane unpack moved onto the
+    MXU (probe_scan_floor.py: 20.4 vs 25.3 ms at the canonical stage-1 shape,
+    chunk 256). Requires T % seq == 0 and T > seq."""
+    l_idx = pl.program_id(1)
+
+    @pl.when(l_idx == 0)
+    def _init():
+        h_scratch[...] = jnp.zeros_like(h_scratch)
+
+    u = u_ref[0].astype(jnp.float32)          # (T, KD)
+    delta = delta_ref[0].astype(jnp.float32)  # (T, KD)
+    A = a_mat_ref[...]                        # (N, KD) fp32
+    carry_ref[0, 0] = h_scratch[...]
+
+    T = delta.shape[0]
+    KD = K * Dh
+    ns = T // seq
+    A2 = A * _LOG2E
+    Bx, Cx = _mxu_unpack_bc(bc_ref[0], s_ref, N)
+    Bx = Bx.reshape(N, ns, seq, KD)
+    Cx = Cx.reshape(N, ns, seq, KD)
+    d4 = delta.reshape(1, ns, seq, KD)
+    du4 = (delta * u).reshape(1, ns, seq, KD)
+    dA = jnp.exp2(d4 * A2[:, None, None, :])              # (N, ns, seq, KD)
+    dBu = du4 * Bx
+    # pass 1: subchunk b-totals, all planes at once
+    cur_b = dBu[:, :, 0]
+    for s in range(1, seq):
+        cur_b = dA[:, :, s] * cur_b + dBu[:, :, s]
+    dsum = jnp.sum(d4, axis=2)                            # (1, ns, KD)
+    tot_a = jnp.exp2(dsum * A2[:, None, :])               # (N, ns, KD)
+    # entering carry per subchunk (tiny sequential combine over ns)
+    h = h_scratch[...]
+    hs = [None] * ns
+    for i in range(ns):
+        hs[i] = h
+        h = tot_a[:, i] * h + cur_b[:, i]
+    h_scratch[...] = h
+    st = jnp.stack(hs, axis=1)                            # (N, ns, KD)
+    # pass 2: states on the fly, contracted straight into y
+    yp = [None] * seq
+    for s in range(seq):
+        st = dA[:, :, s] * st + dBu[:, :, s]
+        yp[s] = st * Cx[:, :, s]
+    y = jnp.sum(jnp.stack(yp, axis=2), axis=0)            # (ns, seq, KD)
+    y_ref[0] = y.reshape(T, KD).astype(y_ref.dtype)
+
+
+def _bwd_kernel_mxu(u_ref, delta_ref, a_mat_ref, bc_ref, s_ref, dy_ref,
+                    carry_ref, du_ref, ddelta_ref, dbc_ref, da_out_ref,
+                    g_scratch, da_scratch, *, K: int, Dh: int, N: int,
+                    seq: int):
+    """Backward kernel, MXU-unpack/pack + plane-stacked layout. Same adjoint
+    math as :func:`_bwd_kernel` (chunks in reverse L order, recompute states
+    from the saved entry carry, suffix adjoint scan) with BOTH the B/C unpack
+    and the gradient lane-pack on the MXU, and every subchunk-scan op running
+    on (N, ns, KD) full-width slabs."""
+    l_idx = pl.program_id(1)
+    nl = pl.num_programs(1)
+
+    @pl.when(l_idx == 0)
+    def _init():
+        g_scratch[...] = jnp.zeros_like(g_scratch)
+        da_scratch[...] = jnp.zeros_like(da_scratch)
+
+    u = u_ref[0].astype(jnp.float32)
+    delta = delta_ref[0].astype(jnp.float32)
+    A = a_mat_ref[...]
+    dy = dy_ref[0].astype(jnp.float32)
+    h_in = carry_ref[0, 0]                                # (N, KD)
+
+    T = delta.shape[0]
+    KD = K * Dh
+    ns = T // seq
+    A2 = A * _LOG2E
+    Bx, Cx = _mxu_unpack_bc(bc_ref[0], s_ref, N)
+    Bx = Bx.reshape(N, ns, seq, KD)
+    Cx = Cx.reshape(N, ns, seq, KD)
+    d4 = delta.reshape(1, ns, seq, KD)
+    u4 = u.reshape(1, ns, seq, KD)
+    du4 = (delta * u).reshape(1, ns, seq, KD)
+    dy4 = dy.reshape(1, ns, seq, KD)
+    dA = jnp.exp2(d4 * A2[:, None, None, :])              # (N, ns, seq, KD)
+    dBu = du4 * Bx
+    q = Cx * dy4
+
+    # ---- adjoint suffix scan ------------------------------------------
+    # alpha_t = dA_{t+1}: within a subchunk alpha[:, :, s] == dA[:, :, s+1];
+    # the last position couples to the NEXT subchunk's first dA (identity at
+    # the chunk end — the inter-chunk coupling is pre-folded into g_scratch).
+    cur_q = q[:, :, seq - 1]
+    for s in range(seq - 2, -1, -1):
+        cur_q = dA[:, :, s + 1] * cur_q + q[:, :, s]
+    dfull = jnp.sum(d4, axis=2)                           # (1, ns, KD)
+    # shifted delta sums cover positions i*seq+1 .. i*seq+seq
+    dsh = dfull - d4[:, :, 0] + jnp.concatenate(
+        [d4[:, 1:, 0], jnp.zeros((1, 1, KD), jnp.float32)], axis=1)
+    tot_a_sh = jnp.exp2(dsh * A2[:, None, :])             # (N, ns, KD)
+    g = g_scratch[...]
+    gs = [None] * ns
+    for i in range(ns - 1, -1, -1):
+        gs[i] = g
+        g = tot_a_sh[:, i] * g + cur_q[:, i]
+    alpha_last = jnp.concatenate(
+        [dA[:, 1:, 0], jnp.ones((N, 1, KD), jnp.float32)], axis=1)
+    st_g = jnp.stack(gs, axis=1)                          # (N, ns, KD)
+    G_slabs = [None] * seq
+    for s in range(seq - 1, -1, -1):
+        a_s = alpha_last if s == seq - 1 else dA[:, :, s + 1]
+        st_g = a_s * st_g + q[:, :, s]
+        G_slabs[s] = st_g
+    G = jnp.stack(G_slabs, axis=2)                        # (N, ns, seq, KD)
+    # g entering the PREVIOUS chunk (processed next): g_{-1} = dA_0 * G_0
+    g_scratch[...] = dA[:, 0, 0] * G[:, 0, 0]
+
+    # ---- forward recompute + gradients --------------------------------
+    cur_b = dBu[:, :, 0]
+    for s in range(1, seq):
+        cur_b = dA[:, :, s] * cur_b + dBu[:, :, s]
+    tot_a = jnp.exp2(dfull * A2[:, None, :])
+    h = h_in
+    hs = [None] * ns
+    for i in range(ns):
+        hs[i] = h
+        h = tot_a[:, i] * h + cur_b[:, i]
+    st = jnp.stack(hs, axis=1)                            # (N, ns, KD)
+
+    # cross-plane (axis-0) and cross-subchunk (axis-1) reductions are written
+    # as static slice-add loops: Mosaic rejects multi_reduction over the
+    # leading implicit dim of a 3D vector ("Unsupported output implicit
+    # dimension"), and leading-axis slices are layout-free.
+    def _sum_planes(x):                                   # (N, ns, KD) -> (ns, KD)
+        acc = x[0]
+        for n in range(1, N):
+            acc = acc + x[n]
+        return acc
+
+    da_acc = da_scratch[...]
+    dd_slabs = [None] * seq
+    du_slabs = [None] * seq
+    dB_slabs = [None] * seq
+    dC_slabs = [None] * seq
+    for s in range(seq):
+        g_s = G[:, :, s]
+        h_prev = st
+        st = dA[:, :, s] * st + dBu[:, :, s]
+        gdA_dA = (g_s * h_prev) * dA[:, :, s]             # (N, ns, KD)
+        GB = _sum_planes(g_s * Bx[:, :, s])               # (ns, KD)
+        dd_slabs[s] = (_sum_planes(gdA_dA * A[:, None, :]) +
+                       GB * u4[0, :, s])
+        du_slabs[s] = GB * d4[0, :, s]
+        dB_slabs[s] = g_s * du4[:, :, s]
+        dC_slabs[s] = st * dy4[:, :, s]
+        gd = gdA_dA * d4[:, :, s]                         # (N, ns, KD)
+        for i in range(ns):
+            da_acc = da_acc + gd[:, i]
+    da_scratch[...] = da_acc
+
+    ddelta_ref[0] = jnp.stack(dd_slabs, axis=1).reshape(T, KD).astype(
+        ddelta_ref.dtype)
+    du_ref[0] = jnp.stack(du_slabs, axis=1).reshape(T, KD).astype(du_ref.dtype)
+    dB = jnp.stack(dB_slabs, axis=2).reshape(N, T, KD)
+    dC = jnp.stack(dC_slabs, axis=2).reshape(N, T, KD)
+    dbc_ref[0] = _mxu_pack_bc_grads(dB, dC, s_ref, N, dbc_ref.dtype)
+
+    @pl.when(l_idx == nl - 1)
+    def _write_da():
+        da_out_ref[0] = da_scratch[...]
+
+
 def _fwd_kernel(u_ref, delta_ref, a_mat_ref, bc_ref, y_ref, carry_ref,
                 h_scratch, *, K: int, Dh: int, N: int):
     l_idx = pl.program_id(1)
@@ -650,16 +870,30 @@ def _scan_core_pallas_fwd(u, delta, A, bc, interpret=False):
     bc_spec = pl.BlockSpec((1, T, 2 * K * dstate), lambda b, l: (b, l, 0))
     carry_spec = pl.BlockSpec((1, 1, dstate, KD), lambda b, l: (b, l, 0, 0))
 
+    seq = int(os.environ.get("NNUZOO_SCAN_SEQ", "16"))
+    use_mxu = (T > seq and T % seq == 0 and
+               os.environ.get("NNUZOO_SCAN_MXU", "1") != "0")
+    if use_mxu:
+        S = _selection_matrix(K, Dh, dstate, bc.dtype)
+        s_spec = pl.BlockSpec(S.shape, lambda b, l: (0, 0, 0))
+        kern = partial(_fwd_kernel_mxu, K=K, Dh=Dh, N=dstate, seq=seq)
+        in_specs = [ud_spec, ud_spec, a_spec, bc_spec, s_spec]
+        operands = (u, delta, A, bc, S)
+    else:
+        kern = partial(_fwd_kernel, K=K, Dh=Dh, N=dstate)
+        in_specs = [ud_spec, ud_spec, a_spec, bc_spec]
+        operands = (u, delta, A, bc)
+
     y, carries = pl.pallas_call(
-        partial(_fwd_kernel, K=K, Dh=Dh, N=dstate),
+        kern,
         grid=grid,
-        in_specs=[ud_spec, ud_spec, a_spec, bc_spec],
+        in_specs=in_specs,
         out_specs=(ud_spec, carry_spec),
         out_shape=(jax.ShapeDtypeStruct((batch, L, KD), u.dtype),
                    jax.ShapeDtypeStruct((batch, nl, dstate, KD), jnp.float32)),
         scratch_shapes=[pltpu.VMEM((dstate, KD), jnp.float32)],
         interpret=interpret,
-    )(u, delta, A, bc)
+    )(*operands)
     # names let an outer remat/checkpoint policy choose to SAVE the scan
     # outputs instead of re-running the kernel forward during backward
     # (m2net._stage_blocks uses save_only_these_names on these)
@@ -686,20 +920,31 @@ def _scan_core_pallas_bwd(interpret, residuals, dy):
                               lambda b, l: (b, nl - 1 - l, 0, 0))
     da_spec = pl.BlockSpec((1, dstate, KD), lambda b, l: (b, 0, 0))
 
-    # The fully-fused backward (gradient work folded into the scan loops,
-    # nothing (T, N, KD)-shaped materialized) measured SLOWER on-chip than the
-    # 2-pass kernel (fwd+bwd 118 vs 90 ms at the canonical stage-1 shape) and
-    # compiled 75x slower — the per-s slab lists defeat Mosaic's scheduler.
-    # It stays as an opt-in experiment: NNUZOO_SCAN_BWD=fused.
+    # Kernel choice: the MXU-unpack/pack plane-stacked kernel is the default
+    # (both the B/C lane unpack and the gradient lane pack ride the MXU).
+    # NNUZOO_SCAN_MXU=0 falls back to the 2-pass lane-unpack kernel;
+    # NNUZOO_SCAN_BWD=fused keeps the old fully-fused experiment.
     seq = int(os.environ.get("NNUZOO_SCAN_SEQ", "16"))
-    use_fused = (T > seq and T % seq == 0 and
+    subchunked = T > seq and T % seq == 0
+    use_mxu = subchunked and os.environ.get("NNUZOO_SCAN_MXU", "1") != "0"
+    use_fused = (subchunked and not use_mxu and
                  os.environ.get("NNUZOO_SCAN_BWD", "2pass") == "fused")
-    kern = (partial(_bwd_kernel_fused, K=K, Dh=Dh, N=dstate, seq=seq)
-            if use_fused else partial(_bwd_kernel, K=K, Dh=Dh, N=dstate))
+    if use_mxu:
+        S = _selection_matrix(K, Dh, dstate, bc.dtype)
+        s_spec = pl.BlockSpec(S.shape, lambda b, l: (0, 0, 0))
+        kern = partial(_bwd_kernel_mxu, K=K, Dh=Dh, N=dstate, seq=seq)
+        in_specs = [ud_spec, ud_spec, a_spec, bc_spec, s_spec, ud_spec,
+                    carry_spec]
+        operands = (u, delta, A, bc, S, dy, carries)
+    else:
+        kern = (partial(_bwd_kernel_fused, K=K, Dh=Dh, N=dstate, seq=seq)
+                if use_fused else partial(_bwd_kernel, K=K, Dh=Dh, N=dstate))
+        in_specs = [ud_spec, ud_spec, a_spec, bc_spec, ud_spec, carry_spec]
+        operands = (u, delta, A, bc, dy, carries)
     du, ddelta, dbc, dA = pl.pallas_call(
         kern,
         grid=grid,
-        in_specs=[ud_spec, ud_spec, a_spec, bc_spec, ud_spec, carry_spec],
+        in_specs=in_specs,
         out_specs=(ud_spec, ud_spec, bc_spec, da_spec),
         out_shape=(jax.ShapeDtypeStruct((batch, L, KD), u.dtype),
                    jax.ShapeDtypeStruct((batch, L, KD), delta.dtype),
@@ -708,7 +953,7 @@ def _scan_core_pallas_bwd(interpret, residuals, dy):
         scratch_shapes=[pltpu.VMEM((dstate, KD), jnp.float32),
                         pltpu.VMEM((dstate, KD), jnp.float32)],
         interpret=interpret,
-    )(u, delta, A, bc, dy, carries)
+    )(*operands)
     # dA per-batch partials -> sum over batch
     return du, ddelta, jnp.sum(dA, axis=0), dbc
 
