@@ -39,12 +39,28 @@ device->host fetch is the only reliable fence. All timings fetch the loss.
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
 A100_BASELINE_STEPS_PER_SEC = 1.1   # central estimate, derivation above
+
+
+def _enable_compile_cache():
+    """Persistent XLA compile cache: the canonical program's compile dwarfs the
+    measured 20-step loop (the Pallas scan kernels compile per (L, KD) shape),
+    so repeat runs — including the driver's end-of-round run — should reuse
+    this session's executables."""
+    import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                       ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
 
 def _build_step(trainer_name, model, patch, batch, bf16=True):
@@ -125,6 +141,7 @@ def _measure(jit_step, params, opt_state, data, seg, n_steps=20):
 def main():
     import dataclasses
 
+    _enable_compile_cache()
     from __graft_entry__ import _flagship_model_and_input
 
     # canonical scale first; smaller fallbacks keep the driver supplied with a
