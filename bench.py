@@ -59,8 +59,8 @@ def _enable_compile_cache():
                           os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                        ".jax_cache"))
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    except Exception as e:  # flag missing on this JAX: repeat runs recompile
+        print(f"# compile cache unavailable: {e}", file=sys.stderr)
 
 
 def _build_step(trainer_name, model, patch, batch, bf16=True):
@@ -138,46 +138,74 @@ def _measure(jit_step, params, opt_state, data, seg, n_steps=20):
     return n_steps / (time.time() - t0)
 
 
-def main():
-    import dataclasses
-
-    _enable_compile_cache()
-    from __graft_entry__ import _flagship_model_and_input
-
-    # canonical scale first; smaller fallbacks keep the driver supplied with a
-    # result line if the rig regresses
-    attempts = [
-        ((256, 224), 12, True),    # canonical AbdomenMR 2d (per-stage remat)
-        ((128, 96), 12, False),
-        ((64, 64), 4, False),
-    ]
-    model, _, pm, cfg, dataset_json, trainer_name = _flagship_model_and_input()
-    result = None
-    for patch, batch, remat in attempts:
-        try:
-            m = dataclasses.replace(model, remat=remat)
-            step = _build_step(trainer_name, m, patch, batch, bf16=True)
-            sps = _measure(*step)
-            result = (trainer_name, patch, batch, sps)
-            break
-        except Exception as e:
-            print(f"# bench attempt {trainer_name} {patch} b{batch} failed: "
-                  f"{type(e).__name__}: {str(e)[:300]}", file=sys.stderr)
-    if result is None:
-        # last resort: PlainConvUNet
-        from nnuzoo_tpu.models.registry import get_model_builder
-        model = get_model_builder("nnUNetTrainer")(pm, dataset_json, cfg, 1, True)
-        step = _build_step("nnUNetTrainer", model, (256, 224), 12, bf16=True)
-        sps = _measure(*step)
-        result = ("nnUNetTrainer", (256, 224), 12, sps)
-
-    name, patch, batch, sps = result
+def _emit(name, patch, batch, sps):
+    """One JSON result line, flushed immediately. The driver parses the LAST
+    such line in the output, so later (bigger/canonical) attempts supersede
+    earlier fallbacks — and a compile overrun mid-run still leaves a datum."""
     print(json.dumps({
         "metric": f"{name}_2d_b{batch}_{patch[0]}x{patch[1]}_train_steps_per_sec_per_chip",
         "value": round(sps, 4),
         "unit": "steps/s",
         "vs_baseline": round(sps / A100_BASELINE_STEPS_PER_SEC, 4),
-    }))
+    }), flush=True)
+
+
+class _Alarm(Exception):
+    pass
+
+
+def main():
+    import dataclasses
+    import signal
+
+    _enable_compile_cache()
+    from __graft_entry__ import _flagship_model_and_input
+
+    # Cheapest-first: each success prints a result line immediately, so the
+    # driver always has a parsable tail even if a later (costlier) attempt
+    # overruns its budget. The canonical 256x224 run goes last and, when it
+    # completes, its line supersedes the fallbacks.
+    attempts = [
+        ((64, 64), 4, False, 60),
+        ((128, 96), 12, False, 30),
+        ((256, 224), 12, True, 20),   # canonical AbdomenMR 2d (per-stage remat)
+    ]
+    # wall-clock budget: the driver kills the process at ~600 s; leave margin
+    # so at least the fallback lines are flushed and the process exits cleanly.
+    budget = float(os.environ.get("NNUZOO_BENCH_BUDGET", "560"))
+    t_start = time.time()
+    signal.signal(signal.SIGALRM, lambda *_: (_ for _ in ()).throw(_Alarm()))
+
+    model, _, pm, cfg, dataset_json, trainer_name = _flagship_model_and_input()
+    any_ok = False
+    for patch, batch, remat, n_steps in attempts:
+        remaining = budget - (time.time() - t_start)
+        if any_ok and remaining < 30:
+            print(f"# bench: budget exhausted before {patch} b{batch}",
+                  file=sys.stderr)
+            break
+        try:
+            signal.alarm(max(10, int(remaining)))
+            m = dataclasses.replace(model, remat=remat)
+            step = _build_step(trainer_name, m, patch, batch, bf16=True)
+            sps = _measure(*step, n_steps=n_steps)
+            signal.alarm(0)
+            _emit(trainer_name, patch, batch, sps)
+            any_ok = True
+        except _Alarm:
+            print(f"# bench attempt {trainer_name} {patch} b{batch} hit the "
+                  f"wall-clock guard ({budget:.0f}s total)", file=sys.stderr)
+        except Exception as e:
+            signal.alarm(0)
+            print(f"# bench attempt {trainer_name} {patch} b{batch} failed: "
+                  f"{type(e).__name__}: {str(e)[:300]}", file=sys.stderr)
+    signal.alarm(0)
+    if not any_ok:
+        # last resort: PlainConvUNet
+        from nnuzoo_tpu.models.registry import get_model_builder
+        model = get_model_builder("nnUNetTrainer")(pm, dataset_json, cfg, 1, True)
+        step = _build_step("nnUNetTrainer", model, (256, 224), 12, bf16=True)
+        _emit("nnUNetTrainer", (256, 224), 12, _measure(*step))
 
 
 if __name__ == "__main__":

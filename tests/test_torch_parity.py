@@ -363,3 +363,125 @@ def test_u2netp_weight_transfer_logit_parity(rng):
         d = np.abs(np.asarray(o) - r.detach().numpy().transpose(0, 2, 3, 1))
         assert d.max() < 5e-3, f"max {d.max()}"
         assert d.mean() < 1e-3, f"mean {d.mean()}"
+
+
+# ------------------------------------------------- flagship M2NetP parity
+def _ss2d_params(mod):
+    """Reference SS2D (`m2net.py:39-226`) -> our flax SS2D param tree. The
+    stacked x_proj/dt_proj/A_log/D parameters share our exact layouts."""
+    return {
+        "in_proj": {"kernel": _lin_k(mod.in_proj.weight)},
+        "conv2d": {"kernel": _conv_k(mod.conv2d.weight),
+                   "bias": _t2j(mod.conv2d.bias)},
+        "x_proj_weight": _t2j(mod.x_proj_weight),
+        "dt_projs_weight": _t2j(mod.dt_projs_weight),
+        "dt_projs_bias": _t2j(mod.dt_projs_bias),
+        "A_logs": _t2j(mod.A_logs),
+        "Ds": _t2j(mod.Ds),
+        "out_norm": _ln(mod.out_norm),
+        "out_proj": {"kernel": _lin_k(mod.out_proj.weight)},
+    }
+
+
+def _vss_layer(layer):
+    return {f"block{j}": {"ln_1": _ln(b.ln_1),
+                          "self_attention": _ss2d_params(b.self_attention)}
+            for j, b in enumerate(layer.blocks)}
+
+
+def _patch_merging(mod):
+    return {"norm": _ln(mod.norm),
+            "reduction": {"kernel": _lin_k(mod.reduction.weight)}}
+
+
+def _patch_expand(mod):
+    return {"expand": {"kernel": _lin_k(mod.expand.weight)},
+            "norm": _ln(mod.norm)}
+
+
+def _mu_params(mu):
+    """Reference MU (`m2net.py:713-768`): VSSMEncoder skips -> VSSMDecoder.
+    The decoder's per-stage seg_layers[0:-1] are built but unused with
+    deep_supervision=False (the param-count delta vs our build) and are
+    not transferred."""
+    enc, dec = mu.vssm_encoder, mu.vssm_decoder
+    p_enc = {
+        "patch_embed": {
+            "proj": {"kernel": _conv_k(enc.patch_embed.proj.weight),
+                     "bias": _t2j(enc.patch_embed.proj.bias)},
+            "norm": _ln(enc.patch_embed.norm)},
+    }
+    if enc.add_last:
+        p_enc["rebnconvin"] = _rebnconv(enc.rebnconvin)
+    for i, layer in enumerate(enc.layers):
+        p_enc[f"layer{i}"] = _vss_layer(layer)
+    for i, ds in enumerate(enc.downsamples):
+        p_enc[f"down{i}"] = _patch_merging(ds)
+
+    p_dec = {}
+    for k, ex in enumerate(dec.expand_layers):
+        if ex is not None:
+            p_dec[f"expand{k}"] = _patch_expand(ex)
+    for k, st in enumerate(dec.stages):
+        if not isinstance(st, torch.nn.Identity):
+            p_dec[f"stage{k}"] = _vss_layer(st)
+    for k, cb in enumerate(dec.concat_back_dim):
+        p_dec[f"concat_back_dim{k}"] = {"kernel": _lin_k(cb.weight),
+                                        "bias": _t2j(cb.bias)}
+    p_dec["seg"] = {"kernel": _conv_k(dec.seg_layers[-1].weight),
+                    "bias": _t2j(dec.seg_layers[-1].bias)}
+    return {"vssm_encoder": p_enc, "vssm_decoder": p_dec}
+
+
+@pytest.mark.slow
+def test_m2netp_weight_transfer_logit_parity(rng, ref_scan):
+    """Transfer a reference M2NetP's weights (`m2net.py:1011-1185`) into our
+    flax M2NetP and compare all 7 deep-supervision logits. Exercises the whole
+    composed flagship: every MU's SS2D->VSSBlock->VSSM encoder/decoder chain,
+    patch merging/expanding, RSU4F stages 5/6/5d, side heads, and the fused
+    outconv (ours computed distributively). The reference's CUDA scan is
+    replaced per-instance by its own pure-torch `selective_scan_ref`
+    (`selective_scan_interface.py:86-152`); batch 1 + train-mode BN matches
+    our GroupNorm REBNCONV (see `_rebnconv`)."""
+    torch.manual_seed(0)
+    from ref_import import import_reference_net
+    ref_mod = import_reference_net("nnunetv2/nets/m2net.py")
+    ref = ref_mod.M2NetP(in_ch=1, out_ch=3, deep_supervision=True).train()
+    for m in ref.modules():
+        if hasattr(m, "selective_scan"):
+            m.selective_scan = ref_scan.selective_scan_ref
+        if isinstance(m, torch.nn.LayerNorm):
+            m.eps = 1e-6  # match flax's default (VSSBlock ln_1 already 1e-6)
+
+    from nnuzoo_tpu.models.m2net import M2NetP
+    ours = M2NetP(num_classes=3, deep_supervision=True, remat=False)
+
+    params = {}
+    for nm in ("stage1", "stage2", "stage3", "stage4",
+               "stage1d", "stage2d", "stage3d", "stage4d"):
+        params[nm] = _mu_params(getattr(ref, nm))
+    for nm in ("stage5", "stage6", "stage5d"):
+        params[nm] = _rsu4f(getattr(ref, nm))
+    for i in (1, 2, 3, 4):
+        params[f"patch_merging{i}"] = _patch_merging(
+            getattr(ref, f"patch_merging{i}"))
+        params[f"patch_expand{i}d"] = _patch_expand(
+            getattr(ref, f"patch_expand{i}d"))
+    for i in range(1, 7):
+        side = getattr(ref, f"side{i}")
+        params[f"side{i}"] = {"kernel": _conv_k(side.weight),
+                              "bias": _t2j(side.bias)}
+    params["outconv"] = {"kernel": _conv_k(ref.outconv.weight),
+                         "bias": _t2j(ref.outconv.bias)}
+
+    # 64x64: smallest size keeping every BatchNorm >1 value/channel in train
+    # mode (stage6 bottleneck runs at 2x2; 32x32 would collapse it to 1x1)
+    x = rng.randn(1, 64, 64, 1).astype(np.float32)
+    with torch.no_grad():
+        outs_ref = ref(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    outs = ours.apply({"params": params}, jnp.asarray(x), train=False)
+    assert len(outs) == len(outs_ref) == 7
+    for i, (o, r) in enumerate(zip(outs, outs_ref)):
+        d = np.abs(np.asarray(o) - r.detach().numpy().transpose(0, 2, 3, 1))
+        assert d.max() < 5e-3, f"head {i}: max {d.max()}"
+        assert d.mean() < 1e-3, f"head {i}: mean {d.mean()}"
