@@ -154,6 +154,10 @@ class _Alarm(Exception):
     pass
 
 
+_WARM_MARKER = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            ".jax_cache", "CANONICAL_WARM")
+
+
 def main():
     import dataclasses
     import signal
@@ -161,19 +165,24 @@ def main():
     _enable_compile_cache()
     from __graft_entry__ import _flagship_model_and_input
 
-    # Cheapest-first: each success prints a result line immediately, so the
-    # driver always has a parsable tail even if a later (costlier) attempt
-    # overruns its budget. The canonical 256x224 run goes last and, when it
-    # completes, its line supersedes the fallbacks.
-    attempts = [
-        ((64, 64), 4, False, 60),
-        ((128, 96), 12, False, 30),
-        ((256, 224), 12, True, 20),   # canonical AbdomenMR 2d (per-stage remat)
-    ]
-    # wall-clock budget: the driver kills the process at ~600 s; leave margin
-    # so at least the fallback lines are flushed and the process exits cleanly.
+    CANONICAL = ((256, 224), 12, True, 20)   # AbdomenMR 2d, per-stage remat
+    CHEAP = [((64, 64), 4, False, 60), ((128, 96), 12, False, 30)]
+    # Attempt ordering: a cold cache pays the remote-compile queue per program
+    # (minutes to HOURS when the relay's compile service is congested), so run
+    # cheapest-first and print a JSON line after EACH success — the driver
+    # parses the tail, so a later canonical line supersedes the fallbacks. Once
+    # a canonical run has succeeded on this rig (warm marker in .jax_cache),
+    # the executables load from the persistent cache and the remaining cost is
+    # LOCAL tracing (~minutes for the canonical program on a 1-core host) —
+    # run ONLY the canonical attempt so it fits the driver's ~600 s kill
+    # window, falling back to the cheap attempts if it fails.
+    warm = os.path.exists(_WARM_MARKER)
+    attempts = [CANONICAL] if warm else CHEAP + [CANONICAL]
     budget = float(os.environ.get("NNUZOO_BENCH_BUDGET", "560"))
     t_start = time.time()
+    # repeating timer: a raise inside a C callback (e.g. XLA's GC hook) is
+    # swallowed by CPython ("Exception ignored in ..."); the 5 s re-fire makes
+    # the next delivery land in Python bytecode and actually propagate.
     signal.signal(signal.SIGALRM, lambda *_: (_ for _ in ()).throw(_Alarm()))
 
     model, _, pm, cfg, dataset_json, trainer_name = _flagship_model_and_input()
@@ -185,21 +194,32 @@ def main():
                   file=sys.stderr)
             break
         try:
-            signal.alarm(max(10, int(remaining)))
+            signal.setitimer(signal.ITIMER_REAL, max(10, remaining), 5.0)
             m = dataclasses.replace(model, remat=remat)
             step = _build_step(trainer_name, m, patch, batch, bf16=True)
             sps = _measure(*step, n_steps=n_steps)
-            signal.alarm(0)
+            signal.setitimer(signal.ITIMER_REAL, 0)
             _emit(trainer_name, patch, batch, sps)
             any_ok = True
+            if patch == CANONICAL[0]:
+                try:
+                    with open(_WARM_MARKER, "w") as f:
+                        f.write("canonical bench executables cached\n")
+                except OSError:
+                    pass
+                if warm:
+                    return  # canonical-only fast path: done
         except _Alarm:
+            signal.setitimer(signal.ITIMER_REAL, 0)
             print(f"# bench attempt {trainer_name} {patch} b{batch} hit the "
                   f"wall-clock guard ({budget:.0f}s total)", file=sys.stderr)
+            if warm and patch == CANONICAL[0]:
+                attempts.extend(CHEAP)  # fall back to the cheap attempts
         except Exception as e:
-            signal.alarm(0)
+            signal.setitimer(signal.ITIMER_REAL, 0)
             print(f"# bench attempt {trainer_name} {patch} b{batch} failed: "
                   f"{type(e).__name__}: {str(e)[:300]}", file=sys.stderr)
-    signal.alarm(0)
+    signal.setitimer(signal.ITIMER_REAL, 0)
     if not any_ok:
         # last resort: PlainConvUNet
         from nnuzoo_tpu.models.registry import get_model_builder

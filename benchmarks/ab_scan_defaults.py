@@ -19,6 +19,8 @@ import time
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+import _common  # noqa: F401,E402  (persistent compile cache)
 
 # canonical M2NetP stage-1 scan shape: b12 @ 256x224, K=4, Dh=32, N=16
 B, L, K, Dh, N = 12, 256 * 224, 4, 32, 16

@@ -17,6 +17,8 @@ import traceback
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+import _common  # noqa: F401,E402  (persistent compile cache)
 
 DEFAULT_SWEEP = [
     "nnUNetTrainerSwT2Net",
@@ -37,32 +39,53 @@ DEFAULT_SWEEP = [
 
 
 def build_plans(patch):
+    """2d (len-2 patch) or 3d_fullres (len-3 patch) canonical plans. The 3d
+    arch mirrors a planner-derived AbdomenCT 3d_fullres (6 stages, 320-cap
+    features, anisotropy-aware first/last strides)."""
     from nnuzoo_tpu.plans.plans_handler import PlansManager
+    three_d = len(patch) == 3
+    cfg_name = "3d_fullres" if three_d else "2d"
+    if three_d:
+        arch = {
+            "network_class_name": "PlainConvUNet",
+            "arch_kwargs": {
+                "n_stages": 6,
+                "features_per_stage": [32, 64, 128, 256, 320, 320],
+                "kernel_sizes": [[1, 3, 3]] + [[3, 3, 3]] * 5,
+                "strides": [[1, 1, 1], [1, 2, 2]] + [[2, 2, 2]] * 3 +
+                           [[1, 2, 2]],
+                "n_conv_per_stage": [2] * 6,
+                "n_conv_per_stage_decoder": [2] * 5,
+            }}
+        batch, spacing = 2, [2.5, 0.8, 0.8]
+    else:
+        arch = {
+            "network_class_name": "PlainConvUNet",
+            "arch_kwargs": {
+                "n_stages": 5,
+                "features_per_stage": [32, 64, 128, 256, 512],
+                "kernel_sizes": [[3, 3]] * 5,
+                "strides": [[1, 1]] + [[2, 2]] * 4,
+                "n_conv_per_stage": [2] * 5,
+                "n_conv_per_stage_decoder": [2] * 4,
+            }}
+        batch, spacing = 12, [1.0, 1.0]
     plans = {
         "dataset_name": "Dataset999_Sweep", "plans_name": "nnUNetPlans",
         "transpose_forward": [0, 1, 2], "transpose_backward": [0, 1, 2],
         "image_reader_writer": "NiftiIO",
-        "configurations": {"2d": {
-            "data_identifier": "nnUNetPlans_2d", "batch_size": 12,
-            "patch_size": list(patch), "spacing": [1.0, 1.0],
+        "configurations": {cfg_name: {
+            "data_identifier": f"nnUNetPlans_{cfg_name}", "batch_size": batch,
+            "patch_size": list(patch), "spacing": spacing,
             "normalization_schemes": ["ZScoreNormalization"],
             "use_mask_for_norm": [False], "batch_dice": True,
-            "architecture": {
-                "network_class_name": "PlainConvUNet",
-                "arch_kwargs": {
-                    "n_stages": 5,
-                    "features_per_stage": [32, 64, 128, 256, 512],
-                    "kernel_sizes": [[3, 3]] * 5,
-                    "strides": [[1, 1]] + [[2, 2]] * 4,
-                    "n_conv_per_stage": [2] * 5,
-                    "n_conv_per_stage_decoder": [2] * 4,
-                }}}},
+            "architecture": arch}},
     }
     dataset_json = {"channel_names": {"0": "MRI"},
                     "labels": {"background": 0, "organ": 1, "tumor": 2},
                     "numTraining": 10, "file_ending": ".nii.gz"}
     pm = PlansManager(plans)
-    return pm, pm.get_configuration("2d"), dataset_json
+    return pm, pm.get_configuration(cfg_name), dataset_json
 
 
 def ds_scales_for(trainer_name, model, patch, in_ch):
@@ -110,7 +133,8 @@ def sweep_one(trainer_name, patch=(256, 224), batch=12, n_steps=10):
     ips = tuple(int(np.ceil(p * 1.18)) for p in patch)
     ds = ds_scales_for(trainer_name, model, patch, 1)
     aug_cfg = AugmentConfig(patch_size=patch, initial_patch_size=ips,
-                            rotation=np.pi, mirror_axes=(0, 1),
+                            rotation=np.pi if len(patch) == 2 else np.pi / 6,
+                            mirror_axes=tuple(range(len(patch))),
                             use_mask_for_norm=(False,),
                             deep_supervision_scales=ds)
 
@@ -159,13 +183,32 @@ def sweep_one(trainer_name, patch=(256, 224), batch=12, n_steps=10):
     return sps, n_params, l0, l1
 
 
+DEFAULT_SWEEP_3D = [
+    "nnUNetTrainer",           # 3d_fullres PlainConvUNet
+    "nnUNetTrainerMambaND2Net",
+    "nnUNetTrainerSSND2Net",
+]
+
+
 def main():
-    names = sys.argv[1:] or DEFAULT_SWEEP
-    patch, batch = (256, 224), 12
-    print(f"canonical sweep: b{batch} {patch[0]}x{patch[1]} bf16", flush=True)
+    """``zoo_sweep.py [--3d] [trainer ...]``. --3d runs the canonical
+    3d_fullres workload (48x192x192 b2, planner-derived AbdomenCT-like);
+    default is the canonical 2d AbdomenMR workload (256x224 b12)."""
+    args = [a for a in sys.argv[1:] if a != "--3d"]
+    three_d = "--3d" in sys.argv[1:]
+    if three_d:
+        names = args or DEFAULT_SWEEP_3D
+        # planner-scale AbdomenCT-like voxel count (48x192x192 = 1.77M/sample)
+        # at a geometry whose per-axis halvings divide every X2Net stage patch
+        patch, batch, n_steps = (64, 160, 160), 2, 5
+    else:
+        names = args or DEFAULT_SWEEP
+        patch, batch, n_steps = (256, 224), 12, 10
+    print(f"canonical sweep: b{batch} {'x'.join(map(str, patch))} bf16",
+          flush=True)
     for name in names:
         try:
-            sps, n_params, l0, l1 = sweep_one(name, patch, batch)
+            sps, n_params, l0, l1 = sweep_one(name, patch, batch, n_steps)
             print(f"{name:40s} {sps:7.3f} steps/s  {n_params / 1e6:7.1f}M "
                   f"params  loss {l0:.3f}->{l1:.3f}", flush=True)
         except Exception as e:

@@ -419,13 +419,29 @@ class Predictor:
         return results
 
     def _preprocess_one(self, preprocessor, files, prev_stage_folder):
-        data, _, properties = preprocessor.run_case(
-            files, None, self.plans_manager, self.configuration_manager,
+        """Preprocess one case; with a prev-stage folder the prior-stage
+        SEGMENTATION (``ident + file_ending``, reference
+        `predict_from_raw_data.py:216` / `data_iterators.py:30-40`) rides
+        through ``run_case`` as the seg input — cropped/resampled alongside the
+        data — then is one-hot-stacked onto the channels. A ``ident.npz``
+        (this repo's trainer ``predicted_next_stage`` format) is accepted as a
+        fallback for already-preprocessed-geometry segs."""
+        ident = os.path.basename(files[0]).split(".")[0][:-5]
+        seg_file = None
+        if prev_stage_folder is not None:
+            cand = join(prev_stage_folder,
+                        ident + self.dataset_json["file_ending"])
+            if os.path.isfile(cand):
+                seg_file = cand
+        data, seg, properties = preprocessor.run_case(
+            files, seg_file, self.plans_manager, self.configuration_manager,
             self.dataset_json)
         if prev_stage_folder is not None:
             from ..plans.label_handling import convert_labelmap_to_one_hot
-            ident = os.path.basename(files[0]).split(".")[0][:-5]
-            seg_prev = np.load(join(prev_stage_folder, ident + ".npz"))["seg"]
+            if seg_file is not None:
+                seg_prev = seg[0]
+            else:
+                seg_prev = np.load(join(prev_stage_folder, ident + ".npz"))["seg"]
             onehot = convert_labelmap_to_one_hot(
                 seg_prev, self.label_manager.foreground_labels, np.float32)
             data = np.vstack([data, onehot])

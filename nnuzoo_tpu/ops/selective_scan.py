@@ -831,6 +831,16 @@ def _bwd_kernel(u_ref, delta_ref, a_mat_ref, bc_ref, dy_ref, carry_ref,
         da_out_ref[0] = da_scratch[...]
 
 
+def _pallas_vmem_fits(dstate: int, KD: int) -> bool:
+    """Mosaic's scoped-VMEM ceiling is 16 MB; the backward kernel's live set
+    measures ~6 fp32 (T, N, KD) tiles at the minimum chunk T=8 (SwinUMamba's
+    stage-4 scan — L=56, KD=4*1536=6144 — OOMed the canonical 256x224 b12
+    compile at 18.68 MB). Shapes beyond ~14 MB fall back to the XLA chunked
+    scan: they are the small-L / huge-KD deep stages where the kernel's
+    sequential-grid advantage is marginal anyway."""
+    return 6 * 8 * dstate * max(KD, 128) * 4 <= 14 * 1024 * 1024
+
+
 def _pick_chunk(L: int, dstate: int, dim: int) -> int:
     """Largest power-of-two chunk with ~6 (T, N, KD) fp32 tiles under ~8 MB VMEM,
     capped at 128 by default (the unrolled in-chunk scan at T=256 blew up the
@@ -1001,6 +1011,8 @@ def selective_scan_blkd(u, delta, A, Bmat, Cmat, D=None, delta_bias=None,
     if backend is None:
         platform = jax.devices()[0].platform
         backend = "pallas" if platform == "tpu" else "xla"
+    if backend == "pallas" and not _pallas_vmem_fits(dstate, K * Dh):
+        backend = "xla"
 
     # bf16 u/B/C stay bf16 on the pallas path (the kernel upcasts in VMEM;
     # the fp32 state/carry never leaves the chip) — big cut in scan HBM
@@ -1047,6 +1059,17 @@ def selective_scan_packed(u, delta, A_t, bc, D=None, delta_bias=None,
     """
     batch, L, KD = u.shape
     dstate = A_t.shape[0]
+    if not _pallas_vmem_fits(dstate, KD):
+        # huge-KD fallback: unpack the lane-compact bc and run the XLA scan
+        K = bc.shape[2] // (2 * dstate)
+        Dh = KD // K
+        bc4 = bc.reshape(batch, L, K, 2 * dstate)
+        y4 = selective_scan_blkd(
+            u.reshape(batch, L, K, Dh), delta.reshape(batch, L, K, Dh),
+            jnp.transpose(A_t, (1, 0)), bc4[..., :dstate], bc4[..., dstate:],
+            D=D, delta_bias=delta_bias, delta_softplus=delta_softplus,
+            backend="xla")
+        return y4.reshape(batch, L, KD)
     compute_dtype = jnp.bfloat16 if u.dtype == jnp.bfloat16 else jnp.float32
     u_k = u.astype(compute_dtype)
     bc_k = bc.astype(compute_dtype)
@@ -1078,6 +1101,9 @@ def selective_scan_pallas(u, delta, A, B, C, D=None, z=None, delta_bias=None,
     dtype_in = u.dtype
     batch, dim, L = u.shape
     dstate = A.shape[1]
+    if not _pallas_vmem_fits(dstate, dim):
+        return selective_scan_xla(u, delta, A, B, C, D, z, delta_bias,
+                                  delta_softplus, return_last_state)
 
     u32 = u.astype(jnp.float32)
     delta32 = _apply_delta_bias(delta, delta_bias, delta_softplus)

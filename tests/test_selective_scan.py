@@ -270,3 +270,52 @@ def test_blkd_bf16_operands():
     assert gu.dtype == jnp.bfloat16
     for g in (gu, gb, gc):
         assert bool(jnp.isfinite(g.astype(jnp.float32)).all())
+
+
+def test_huge_kd_vmem_fallback():
+    """Shapes whose kernel tile would blow Mosaic's 16 MB scoped VMEM (the
+    SwinUMamba stage-4 canonical crash: L=56, KD=6144) must dispatch to the
+    XLA scan and still match the reference recurrence."""
+    from nnuzoo_tpu.ops.selective_scan import (_pallas_vmem_fits,
+                                               selective_scan_blkd,
+                                               selective_scan_packed,
+                                               selective_scan_ref_jax)
+    assert _pallas_vmem_fits(16, 128)       # flagship shape stays on pallas
+    assert _pallas_vmem_fits(16, 3072)      # SwinUMamba stage 3: still fits
+    assert not _pallas_vmem_fits(16, 6144)  # SwinUMamba stage 4: falls back
+
+    rng = np.random.RandomState(0)
+    B, L, K, Dh, N = 1, 8, 4, 1536, 16      # KD = 6144
+    u = rng.randn(B, L, K, Dh).astype(np.float32)
+    delta = rng.rand(B, L, K, Dh).astype(np.float32)
+    A = -np.abs(rng.randn(K * Dh, N).astype(np.float32))
+    Bm = rng.randn(B, L, K, N).astype(np.float32)
+    Cm = rng.randn(B, L, K, N).astype(np.float32)
+    D = rng.randn(K * Dh).astype(np.float32)
+
+    # "pallas" request at this shape must transparently take the XLA path
+    y = selective_scan_blkd(jnp.asarray(u), jnp.asarray(delta), jnp.asarray(A),
+                            jnp.asarray(Bm), jnp.asarray(Cm), D=jnp.asarray(D),
+                            delta_softplus=True, backend="pallas")
+
+    # oracle in mamba convention: (B, dim=K*Dh, L), grouped B/C (B, K, N, L)
+    u_c = np.transpose(u, (0, 2, 3, 1)).reshape(B, K * Dh, L)
+    d_c = np.transpose(delta, (0, 2, 3, 1)).reshape(B, K * Dh, L)
+    y_ref = selective_scan_ref_jax(
+        jnp.asarray(u_c), jnp.asarray(d_c), jnp.asarray(A),
+        jnp.asarray(np.transpose(Bm, (0, 2, 3, 1))),
+        jnp.asarray(np.transpose(Cm, (0, 2, 3, 1))), D=jnp.asarray(D),
+        delta_softplus=True)
+    y_ref = jnp.transpose(y_ref.reshape(B, K, Dh, L), (0, 3, 1, 2))
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=2e-4,
+                               rtol=2e-4)
+
+    # packed entry falls back identically
+    bc = np.concatenate([Bm, Cm], axis=3).reshape(B, L, K * 2 * N)
+    y_p = selective_scan_packed(
+        jnp.asarray(u.reshape(B, L, K * Dh)),
+        jnp.asarray(delta.reshape(B, L, K * Dh)),
+        jnp.asarray(A.T), jnp.asarray(bc), D=jnp.asarray(D),
+        delta_softplus=True)
+    np.testing.assert_allclose(np.asarray(y_p),
+                               np.asarray(y).reshape(B, L, K * Dh), atol=1e-5)
