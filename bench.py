@@ -179,6 +179,10 @@ def main():
     warm = os.path.exists(_WARM_MARKER)
     attempts = [CANONICAL] if warm else CHEAP + [CANONICAL]
     budget = float(os.environ.get("NNUZOO_BENCH_BUDGET", "560"))
+    # device handover through the relay can take minutes when another client
+    # holds the chip — start the budget clock only once the device is ours
+    import jax
+    jax.devices()
     t_start = time.time()
     # repeating timer: a raise inside a C callback (e.g. XLA's GC hook) is
     # swallowed by CPython ("Exception ignored in ..."); the 5 s re-fire makes
@@ -194,7 +198,7 @@ def main():
                   file=sys.stderr)
             break
         try:
-            signal.setitimer(signal.ITIMER_REAL, max(10, remaining), 5.0)
+            signal.setitimer(signal.ITIMER_REAL, max(60, remaining), 5.0)
             m = dataclasses.replace(model, remat=remat)
             step = _build_step(trainer_name, m, patch, batch, bf16=True)
             sps = _measure(*step, n_steps=n_steps)

@@ -107,7 +107,8 @@ def ds_scales_for(trainer_name, model, patch, in_ch):
                  for o in outs)
 
 
-def sweep_one(trainer_name, patch=(256, 224), batch=12, n_steps=10):
+def sweep_one(trainer_name, patch=(256, 224), batch=12, n_steps=10,
+              remat=False):
     import jax
     import jax.numpy as jnp
     import optax
@@ -123,6 +124,9 @@ def sweep_one(trainer_name, patch=(256, 224), batch=12, n_steps=10):
     enable_ds = get_trainer_config(trainer_name).enable_deep_supervision
     model = get_model_builder(trainer_name)(pm, dataset_json, cfg, 1,
                                             deep_supervision=enable_ds)
+    if remat and hasattr(model, "remat"):
+        import dataclasses
+        model = dataclasses.replace(model, remat=True)
     x = jnp.zeros((batch, *patch, 1), jnp.float32)
     params = jax.jit(model.init)(jax.random.PRNGKey(0), x)
     n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
@@ -194,8 +198,9 @@ def main():
     """``zoo_sweep.py [--3d] [trainer ...]``. --3d runs the canonical
     3d_fullres workload (48x192x192 b2, planner-derived AbdomenCT-like);
     default is the canonical 2d AbdomenMR workload (256x224 b12)."""
-    args = [a for a in sys.argv[1:] if a != "--3d"]
+    args = [a for a in sys.argv[1:] if a not in ("--3d", "--remat")]
     three_d = "--3d" in sys.argv[1:]
+    remat = "--remat" in sys.argv[1:]
     if three_d:
         names = args or DEFAULT_SWEEP_3D
         # planner-scale AbdomenCT-like voxel count (48x192x192 = 1.77M/sample)
@@ -208,7 +213,8 @@ def main():
           flush=True)
     for name in names:
         try:
-            sps, n_params, l0, l1 = sweep_one(name, patch, batch, n_steps)
+            sps, n_params, l0, l1 = sweep_one(name, patch, batch, n_steps,
+                                              remat=remat)
             print(f"{name:40s} {sps:7.3f} steps/s  {n_params / 1e6:7.1f}M "
                   f"params  loss {l0:.3f}->{l1:.3f}", flush=True)
         except Exception as e:

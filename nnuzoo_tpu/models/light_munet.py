@@ -163,9 +163,18 @@ class LightMUNet(nn.Module):
     blocks_up: Sequence[int] = (1, 1, 1)
     use_ss2d: bool = False
     deep_supervision: bool = False  # reference trainer runs LightMUNet without DS
+    remat: bool = False  # per-block recompute (canonical 2d SS2D variant: 24 GB without)
 
     @nn.compact
     def __call__(self, x, train: bool = True):
+        res_cls, mamba_cls = ResMambaBlock, MambaLayer
+        if self.remat:
+            import jax
+            policy = jax.checkpoint_policies.save_only_these_names(
+                "scan_y", "scan_carries")
+            res_cls = nn.remat(ResMambaBlock, policy=policy)
+            mamba_cls = nn.remat(MambaLayer, static_argnums=(2,),
+                                 policy=policy)
         orders = _ORDERS_3D if self.dim == 3 else _ORDERS_2D
         f = self.init_filters
         x = DWConv(f, self.dim, 3, name="convInit")(x)
@@ -174,12 +183,12 @@ class LightMUNet(nn.Module):
         for i, n_blocks in enumerate(self.blocks_down):
             ch = f * 2 ** i
             if i > 0:
-                x = MambaLayer(ch, self.use_ss2d, name=f"down_mamba{i}")(
+                x = mamba_cls(ch, self.use_ss2d, name=f"down_mamba{i}")(
                     x, None if self.use_ss2d else orders[i % len(orders)])
                 x = max_pool(x, 2, self.dim)
             for b in range(n_blocks):
-                x = ResMambaBlock(self.dim, orders[i % len(orders)],
-                                  self.use_ss2d, name=f"down{i}_block{b}")(x)
+                x = res_cls(self.dim, orders[i % len(orders)],
+                            self.use_ss2d, name=f"down{i}_block{b}")(x)
             skips.append(x)
 
         skips = skips[::-1]

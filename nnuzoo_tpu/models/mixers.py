@@ -90,8 +90,12 @@ class MixerLayer(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = True):
         for i in range(self.depth):
+            # per-block stochastic-depth rate: callers may pass one float for
+            # all blocks or a per-block tuple (the reference's linspace slices)
+            dp = self.drop_path[i] if isinstance(self.drop_path, (tuple, list)) \
+                else self.drop_path
             if self.mixer == "ss2d":
-                x = VSSBlock(self.dim, self.d_state, self.drop_path,
+                x = VSSBlock(self.dim, self.d_state, dp,
                              name=f"block{i}")(x, train=train)
             elif self.mixer == "ssnd":
                 # reference SSND VSSBlock (`ssnd2net.py:758-786`):
@@ -101,16 +105,16 @@ class MixerLayer(nn.Module):
                 branch = SSND(self.dim, spatial_dims=self.spatial_dims,
                               d_state=self.d_state, name=f"block{i}")(
                     nn.LayerNorm(epsilon=1e-6, name=f"ln{i}")(x), train=train)
-                x = x + DropPath(self.drop_path, name=f"drop_path{i}")(
+                x = x + DropPath(dp, name=f"drop_path{i}")(
                     branch, deterministic=not train)
             elif self.mixer == "swin":
                 window = 7
                 x = SwinBlock(num_heads=max(1, self.dim // 32), window=window,
                               shift=0 if i % 2 == 0 else window // 2,
-                              drop_path=self.drop_path,
+                              drop_path=dp,
                               name=f"block{i}")(x, train=train)
             else:
                 x = _TokenBlock(self.mixer, self.dim, block_index=i,
-                                drop_path=self.drop_path,
+                                drop_path=dp,
                                 name=f"block{i}")(x, train=train)
         return x

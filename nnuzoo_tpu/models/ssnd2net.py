@@ -104,6 +104,7 @@ class SSND2Net(nn.Module):
     deep_supervision: bool = True
     small: bool = False
     patch_size: Optional[Tuple[int, ...]] = None
+    remat: bool = False  # per-stage recompute (canonical 2d needs ~48 GB without)
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -129,28 +130,36 @@ class SSND2Net(nn.Module):
 
         stage_ips = [ref_scale_value(ips, scales[:i]) for i in range(4)]
 
+        mini_cls = MUSSND
+        if self.remat:
+            # FULL recompute (unlike m2net._stage_blocks, no scan-output
+            # saving): SSND2Net's 14-block full-res stages still need 21.4 GB
+            # with the saved scan residuals (48 GB without remat) on a
+            # 15.75 GB chip, so the scan forward re-runs in the backward
+            mini_cls = nn.remat(MUSSND, static_argnums=(2,))
+
         def mini(mid, out, n, ipsize, name, add_last=True):
-            return MUSSND(mid, out, n, dim, ipsize, add_last=add_last,
-                          name=name)
+            return mini_cls(mid, out, n, dim, ipsize, add_last=add_last,
+                            name=name)
 
         # ------------------------------ encoder
         skips = []
         h = x
         for i in range(4):
             h = mini(enc[i][0], enc[i][1], _N_LAYERS[i], stage_ips[i],
-                     f"stage{i + 1}")(h, train=train)
+                     f"stage{i + 1}")(h, train)
             skips.append(h)
             h = PatchMergingND(h.shape[-1], scales[i], merge_out[i],
                                name=f"patch_merging{i + 1}")(h)
         # bottleneck minis: NO input_patch_size -> no internal downsampling
-        hx5 = mini(b_mid, b_out, 4, None, "stage5")(h, train=train)
+        hx5 = mini(b_mid, b_out, 4, None, "stage5")(h, train)
         h = PatchMergingND(b_out, scales[4], b_out, name="patch_merging5")(hx5)
-        hx6 = mini(b_mid, b_out, 4, None, "stage6")(h, train=train)
+        hx6 = mini(b_mid, b_out, 4, None, "stage6")(h, train)
         hx6up = PatchExpandND(b_out, scales[4], output_dim=b_out,
                               name="patch_expand5d")(hx6)
         hx5d = mini(b5d_mid, b5d_out, 4, None, "stage5d")(
             jnp.concatenate([pad_to_match(hx6up, hx5.shape[1:-1]), hx5], -1),
-            train=train)
+            train)
 
         # ------------------------------ decoder
         dec_ips = [stage_ips[3], stage_ips[2], stage_ips[1], stage_ips[0]]
@@ -163,7 +172,7 @@ class SSND2Net(nn.Module):
                                  skips[i]], -1)
             h = nn.Dense(concat_back[i], name=f"concat_back_dim{i + 1}d")(h)
             h = mini(dec[i][0], dec[i][1], _N_LAYERS[i], dec_ips[j],
-                     f"stage{i + 1}d")(h, train=train)
+                     f"stage{i + 1}d")(h, train)
             dec_feats.append(h)
         hx4d, hx3d, hx2d, hx1d = dec_feats
 

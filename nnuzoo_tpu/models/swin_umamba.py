@@ -23,9 +23,20 @@ class _VSSMBackbone(nn.Module):
     dims: Sequence[int] = (96, 192, 384, 768)
     patch_size: int = 2
     drop_path_rate: float = 0.2  # reference `SwinUMamba.py:369`
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = True):
+        layer_cls = VSSLayer
+        if self.remat:
+            # recompute each VSS layer's internals in the backward (the SS2D
+            # in_proj/conv/scan-glue residuals dominate activation memory at
+            # canonical scale) but keep the scan kernel outputs + carries so
+            # its forward is not re-run (same policy as m2net._stage_blocks)
+            import jax
+            policy = jax.checkpoint_policies.save_only_these_names(
+                "scan_y", "scan_carries")
+            layer_cls = nn.remat(VSSLayer, static_argnums=(2,), policy=policy)
         outs = [x]
         h = PatchEmbed2D(self.patch_size, self.dims[0], name="patch_embed")(x)
         total = sum(self.depths)
@@ -33,9 +44,9 @@ class _VSSMBackbone(nn.Module):
                for j in range(total)]
         for i, depth in enumerate(self.depths):
             lo = sum(self.depths[:i])
-            h = VSSLayer(self.dims[i], depth,
-                         drop_path=tuple(dpr[lo:lo + depth]),
-                         name=f"layer{i}")(h, train=train)
+            h = layer_cls(self.dims[i], depth,
+                          drop_path=tuple(dpr[lo:lo + depth]),
+                          name=f"layer{i}")(h, train)
             outs.append(h)
             if i < len(self.depths) - 1:
                 h = PatchMerging2D(self.dims[i], 2, self.dims[i + 1],
@@ -47,6 +58,7 @@ class SwinUMamba(nn.Module):
     num_classes: int
     feat_size: Sequence[int] = (48, 96, 192, 384, 768)
     deep_supervision: bool = True
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -55,7 +67,8 @@ class SwinUMamba(nn.Module):
                        name="stem_conv")(x)
         stem = nn.GroupNorm(num_groups=None, group_size=1, epsilon=1e-5,
                             name="stem_norm")(stem)
-        vss_outs = _VSSMBackbone(name="vssm_encoder")(stem, train=train)
+        vss_outs = _VSSMBackbone(remat=self.remat,
+                                 name="vssm_encoder")(stem, train=train)
 
         enc1 = UnetrBasicBlock(f[0], 2, name="encoder1")(x)            # /1
         enc2 = UnetrBasicBlock(f[1], 2, name="encoder2")(vss_outs[0])  # /2
@@ -89,6 +102,7 @@ class SwinUMambaD(nn.Module):
     num_classes: int
     feat_size: Sequence[int] = (48, 96, 192, 384, 768)
     deep_supervision: bool = True
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -97,7 +111,8 @@ class SwinUMambaD(nn.Module):
                        name="stem_conv")(x)
         stem = nn.GroupNorm(num_groups=None, group_size=1, epsilon=1e-5,
                             name="stem_norm")(stem)
-        vss_outs = _VSSMBackbone(name="vssm_encoder")(stem, train=train)
+        vss_outs = _VSSMBackbone(remat=self.remat,
+                                 name="vssm_encoder")(stem, train=train)
 
         skips = [stem, vss_outs[1], vss_outs[2], vss_outs[3]]  # /2 /4 /8 /16
         h = vss_outs[4]  # /32

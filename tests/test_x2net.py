@@ -206,3 +206,21 @@ def test_decoder_pads_truncated_merges(rng):
     assert outs[0].shape == (1, 24, 24, 2)
     for o in outs:
         assert np.isfinite(np.asarray(o)).all()
+
+
+def test_ssnd2net_train_mode_droppath(rng):
+    """Train-mode apply with a dropout rng exercises DropPath's non-deterministic
+    branch — the SSND mini passes PER-BLOCK tuple rates into MixerLayer, which
+    must slice them per block (regression: `1.0 - tuple` TypeError that broke
+    the canonical SSND2Net train step)."""
+    from nnuzoo_tpu.models.ssnd2net import SSND2Net
+
+    m = SSND2Net(num_classes=2, dim=2, deep_supervision=True, small=True,
+                 patch_size=(32, 32))
+    x = jnp.asarray(rng.rand(1, 32, 32, 1).astype(np.float32))
+    params = m.init(jax.random.PRNGKey(0), x)
+    outs = m.apply(params, x, train=True,
+                   rngs={"dropout": jax.random.PRNGKey(1)})
+    assert len(outs) == 7
+    for o in outs:
+        assert np.isfinite(np.asarray(o)).all()
