@@ -25,12 +25,15 @@ class PlainConvEncoder(nn.Module):
     n_conv_per_stage: Sequence[int]
     dim: int
     dtype: jnp.dtype = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x):
+        block_cls = nn.remat(StackedConvBlocks) if self.remat \
+            else StackedConvBlocks
         skips = []
         for s in range(self.n_stages):
-            x = StackedConvBlocks(self.n_conv_per_stage[s],
+            x = block_cls(self.n_conv_per_stage[s],
                                   self.features_per_stage[s],
                                   self.kernel_sizes[s], self.strides[s],
                                   dim=self.dim, dtype=self.dtype,
@@ -71,9 +74,12 @@ class UNetDecoder(nn.Module):
     dim: int
     deep_supervision: bool = True
     dtype: jnp.dtype = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, skips: List[jnp.ndarray]):
+        block_cls = nn.remat(StackedConvBlocks) if self.remat \
+            else StackedConvBlocks
         n_stages = len(skips)
         x = skips[-1]
         seg_outputs = []
@@ -82,7 +88,7 @@ class UNetDecoder(nn.Module):
                                  dim=self.dim, dtype=self.dtype,
                                  name=f"up{i}")(x)
             x = jnp.concatenate([x, skips[s]], axis=-1)
-            x = StackedConvBlocks(self.n_conv_per_stage_decoder[i],
+            x = block_cls(self.n_conv_per_stage_decoder[i],
                                   self.features_per_stage[s],
                                   self.kernel_sizes[s], 1, dim=self.dim,
                                   dtype=self.dtype, name=f"dec{i}")(x)
@@ -99,6 +105,7 @@ class PlainConvUNet(nn.Module):
     num_classes: int
     deep_supervision: bool = True
     dtype: jnp.dtype = jnp.float32
+    remat: bool = False  # per-stage recompute (large 3d_fullres workloads)
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -108,12 +115,12 @@ class PlainConvUNet(nn.Module):
         skips = PlainConvEncoder(
             kw["n_stages"], kw["features_per_stage"], kw["kernel_sizes"],
             kw["strides"], kw["n_conv_per_stage"], dim=dim, dtype=self.dtype,
-            name="encoder")(x)
+            remat=self.remat, name="encoder")(x)
         return UNetDecoder(
             kw["features_per_stage"], kw["kernel_sizes"], kw["strides"],
             kw["n_conv_per_stage_decoder"], self.num_classes, dim=dim,
             deep_supervision=self.deep_supervision, dtype=self.dtype,
-            name="decoder")(skips)
+            remat=self.remat, name="decoder")(skips)
 
 
 class ResidualEncoderUNet(nn.Module):
